@@ -1,0 +1,163 @@
+"""Warmed extractor engine — the actor-pool stage (SURVEY.md §2.3 A1-A5).
+
+The reference keeps ONE warmed OCR subprocess and feeds it one image at a
+time (core/ppocr_api.py:15-176, core/run.py:27-46). Here the analog is a
+callable class handed to ``Dataset.map_batches(ExtractorEngine,
+concurrency=N, batch_size=B)``: everything expensive — the profile library,
+compiled field regexes, compiled boilerplate patterns — is built once per
+actor in ``__init__`` and reused across batches; ``__call__`` processes a
+zero-copy Arrow batch and never touches the driver.
+
+Payload routing per row (the engine-selection analog of GetOcrApi,
+ppocr_api.py:322-338):
+
+- ``%LAYOUT1\\n`` + JSON text boxes → layout path: reading-order + paragraph
+  assembly via the tbpu-analog parsers (``xhs_ocr_ray.layout``) — this is the
+  PDF/layout-parse stand-in with real plumbing;
+- ``%PDF`` → STUB: real PDF decode libraries are not in this container; rows
+  get ``status='unsupported_payload'`` (deterministic, kept for lineage);
+- anything else → HTML path: profile-masked main-content extraction with the
+  per-document fallback loop (``xhs_ocr_ray.profiles``).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import urllib.parse
+
+import pyarrow as pa
+
+from xhs_ocr_ray.functions.normalize import canonical_doc_class
+from xhs_ocr_ray.layout.paragraph import render as render_blocks
+from xhs_ocr_ray.layout.parsers import get_parser
+from xhs_ocr_ray.profiles import (
+    DEFAULT_PROFILE,
+    ExtractionResult,
+    Profile,
+    ProfileLibrary,
+    extract_with_profiles,
+)
+
+LAYOUT_MAGIC = b"%LAYOUT1\n"
+PDF_MAGIC = b"%PDF"
+
+OUTPUT_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("warc_ts", pa.timestamp("us")),
+        ("lang", pa.string()),
+        ("doc_class", pa.string()),
+        ("extracted_text", pa.large_string()),
+        ("fields", pa.string()),
+        ("profile_id", pa.int32()),
+        ("status", pa.string()),
+        ("n_chars", pa.int64()),
+        ("n_lines", pa.int64()),
+        ("html_bytes", pa.int64()),
+    ]
+)
+
+
+def doc_class_of(url: str) -> str:
+    """First path segment, digit-stripped (M9 analog) — the ``tag``."""
+    try:
+        path = urllib.parse.urlsplit(url).path
+    except ValueError:
+        return "default"
+    seg = path.strip("/").split("/", 1)[0] if path.strip("/") else ""
+    return canonical_doc_class(seg) or "default"
+
+
+def extract_layout_payload(payload: bytes, parser_name: str) -> str | None:
+    """Parse a %LAYOUT1 JSON box payload and assemble reading-order text."""
+    try:
+        doc = json.loads(payload[len(LAYOUT_MAGIC):].decode("utf-8"))
+        blocks = doc.get("blocks", [])
+        name = doc.get("parser", parser_name)
+    except (ValueError, UnicodeDecodeError):
+        return None
+    if not blocks:
+        return None
+    ordered = get_parser(name)(blocks)
+    return render_blocks(ordered)
+
+
+class ExtractorEngine:
+    """Stateful extractor: construct once per actor, call per Arrow batch."""
+
+    def __init__(self, library: ProfileLibrary | None = None,
+                 default_layout_parser: str = "multi_para"):
+        self.library = library or ProfileLibrary()
+        self.default_layout_parser = default_layout_parser
+        # Warm-up: precompile every profile's field regexes once (the
+        # engine-handshake analog; never per batch).
+        self.compiled: dict[int, list[re.Pattern]] = {}
+        for profs in self.library.profiles.values():
+            for p in profs:
+                if p.field_regexes:
+                    self.compiled[id(p)] = [
+                        re.compile(rx, re.MULTILINE) for rx in p.field_regexes
+                    ]
+
+    # -- per-row core (also used directly by golden tests) ----------------
+    def extract_row(self, url: str, payload: bytes) -> ExtractionResult:
+        dc = doc_class_of(url)
+        if payload.startswith(LAYOUT_MAGIC):
+            profs = self.library.for_class(dc)
+            parser_name = profs[0].layout_parser if profs else self.default_layout_parser
+            text = extract_layout_payload(payload, parser_name)
+            if text is None:
+                return ExtractionResult(None, None, -1, "failed_all_profiles")
+            pid = profs[0].profile_id if profs else DEFAULT_PROFILE.profile_id
+            return ExtractionResult(text, None, pid, "ok")
+        if payload.startswith(PDF_MAGIC):
+            # STUB: no PDF decoder in this container (see module docstring).
+            return ExtractionResult(None, None, -1, "unsupported_payload")
+        return extract_with_profiles(payload, self.library.for_class(dc), self.compiled)
+
+    # -- batch entry -------------------------------------------------------
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        htmls = batch.column("html").to_pylist()
+        ts = batch.column("warc_ts")
+        langs = (
+            batch.column("lang").to_pylist()
+            if "lang" in batch.column_names
+            else [""] * len(urls)
+        )
+        texts: list[str | None] = []
+        fields: list[str | None] = []
+        pids: list[int] = []
+        statuses: list[str] = []
+        n_chars: list[int] = []
+        n_lines: list[int] = []
+        html_bytes: list[int] = []
+        classes: list[str] = []
+        for url, payload in zip(urls, htmls):
+            payload = payload or b""
+            classes.append(doc_class_of(url))
+            res = self.extract_row(url, payload)
+            texts.append(res.text)
+            fields.append(res.fields_json)
+            pids.append(res.profile_id)
+            statuses.append(res.status)
+            n_chars.append(len(res.text) if res.text else 0)
+            n_lines.append(res.text.count("\n") if res.text else 0)
+            html_bytes.append(len(payload))
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "warc_ts": ts,
+                "lang": pa.array(langs, pa.string()),
+                "doc_class": pa.array(classes, pa.string()),
+                "extracted_text": pa.array(texts, pa.large_string()),
+                "fields": pa.array(fields, pa.string()),
+                "profile_id": pa.array(pids, pa.int32()),
+                "status": pa.array(statuses, pa.string()),
+                "n_chars": pa.array(n_chars, pa.int64()),
+                "n_lines": pa.array(n_lines, pa.int64()),
+                "html_bytes": pa.array(html_bytes, pa.int64()),
+            },
+            schema=OUTPUT_SCHEMA,
+        )

@@ -1,0 +1,109 @@
+"""Stable hashing primitives (pure stdlib/numpy — no external hash libs).
+
+Everything here must be deterministic across processes and machines: these
+hashes drive dedup keys, partition assignment, MinHash/SimHash signatures and
+document fingerprints. Python's builtin ``hash`` is salted per process and is
+NEVER used.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+_MERSENNE_61 = (1 << 61) - 1
+
+
+def stable_hash64(data: bytes | str) -> int:
+    """64-bit stable hash (blake2b-8)."""
+    if isinstance(data, str):
+        data = data.encode("utf-8")
+    return int.from_bytes(hashlib.blake2b(data, digest_size=8).digest(), "little")
+
+
+def stable_hash64_seeded(data: bytes | str, seed: int) -> int:
+    if isinstance(data, str):
+        data = data.encode("utf-8")
+    return int.from_bytes(
+        hashlib.blake2b(data, digest_size=8, salt=seed.to_bytes(8, "little")).digest(),
+        "little",
+    )
+
+
+def md5_hex(data: bytes | str) -> str:
+    """Hex MD5 — matches DuckDB's ``md5()`` for oracle-checked fingerprints."""
+    if isinstance(data, str):
+        data = data.encode("utf-8")
+    return hashlib.md5(data).hexdigest()
+
+
+def minhash_permutations(num_perm: int, seed: int = 1) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic (a, b) coefficients for ``num_perm`` universal-hash
+    permutations ``(a*x + b) mod p``, p = 2^61-1. Coefficients and shingle
+    hashes are kept < 2^32 so every product fits in uint64 exactly."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, 1 << 32, size=num_perm, dtype=np.uint64)
+    b = rng.integers(0, 1 << 32, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def shingles(text: str, k: int = 5) -> np.ndarray:
+    """Character k-shingle 32-bit hashes of ``text`` (unique)."""
+    if len(text) < k:
+        basis = [text] if text else []
+    else:
+        basis = [text[i : i + k] for i in range(len(text) - k + 1)]
+    if not basis:
+        return np.empty(0, dtype=np.uint64)
+    hs = {stable_hash64(s) & 0xFFFFFFFF for s in basis}
+    return np.fromiter(hs, dtype=np.uint64, count=len(hs))
+
+
+def minhash_signature(shingle_hashes: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """MinHash signature (uint64[num_perm]) of a 32-bit shingle-hash set.
+
+    Fully vectorized: one (num_perm × n_shingles) uint64 matmul-shaped op.
+    """
+    if shingle_hashes.size == 0:
+        return np.full(a.shape[0], np.uint64(_MERSENNE_61), dtype=np.uint64)
+    x = shingle_hashes[None, :]  # (1, n) uint64, values < 2^32
+    vals = (a[:, None] * x + b[:, None]) % np.uint64(_MERSENNE_61)
+    return vals.min(axis=1)
+
+
+def simhash64(tokens: list[str]) -> int:
+    """64-bit SimHash over token hashes (unit weights), vectorized."""
+    if not tokens:
+        return 0
+    hs = np.fromiter((stable_hash64(t) for t in tokens), dtype=np.uint64, count=len(tokens))
+    shifts = np.arange(64, dtype=np.uint64)
+    bits = ((hs[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+    acc = (bits * 2 - 1).sum(axis=0)
+    mask = acc > 0
+    return int(np.sum(np.where(mask, np.uint64(1) << shifts, np.uint64(0)), dtype=np.uint64))
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")
+
+
+def rolling_fingerprint(text: str, window: int = 8, keep_mod: int = 16) -> int:
+    """Winnowing-style document fingerprint: polynomial rolling hash over a
+    sliding character window; XOR-fold the hashes that are ≡0 (mod
+    ``keep_mod``). Stable under small edits elsewhere in the document."""
+    if not text:
+        return 0
+    base, mod = 1_000_003, _MERSENNE_61
+    h = 0
+    power = pow(base, window - 1, mod)
+    out = 0
+    n_kept = 0
+    for i, ch in enumerate(text):
+        h = (h * base + ord(ch)) % mod
+        if i >= window:
+            h = (h - ord(text[i - window]) * power) % mod
+        if i >= window - 1 and h % keep_mod == 0:
+            out ^= h
+            n_kept += 1
+    return out if n_kept else h

@@ -1,0 +1,146 @@
+"""Extraction profiles — the analog of the reference's mask library + declared
+field schema (SURVEY.md §1.3-1.4; reference mask loop core/run.py:363-501,
+config.ini [tags]).
+
+A *profile* is one way to extract a document class: an optional span mask
+(keep-selectors over the DOM — the alpha-mask analog), an optional field
+schema (ordered regexes whose i-th match binds to the i-th declared field —
+positional binding, db/__init__.py:111-120), and normalization flags.
+Profiles for a doc_class are tried **in profile_id order until one
+validates** (cardinality check M8, core/run.py:486-501); a document failing
+all profiles is quarantined with ``status='failed_all_profiles'`` (the
+reference logs and drops, core/run.py:499-501 — we keep the row for lineage).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from dataclasses import dataclass, field
+
+from xhs_ocr_ray.functions.normalize import normalize_lines
+from xhs_ocr_ray.html.extract import _render_container, select_main
+from xhs_ocr_ray.html.parser import Element, parse_html
+
+
+@dataclass(frozen=True)
+class Profile:
+    doc_class: str
+    profile_id: int
+    keep_selectors: tuple[str, ...] = ()      # span mask: "tag", ".cls", "tag.cls"
+    field_names: tuple[str, ...] = ()         # declared schema (ordered)
+    field_regexes: tuple[str, ...] = ()       # i-th regex → i-th field
+    normalize: bool = False                   # apply M6 normalizer to lines
+    strip_cjk: bool = False                   # M6 CJK-strip toggle
+    layout_parser: str = "multi_para"         # parser for layout payloads
+
+    def __post_init__(self) -> None:
+        if self.field_regexes and len(self.field_regexes) != len(self.field_names):
+            raise ValueError("field_regexes and field_names must align")
+
+
+@dataclass
+class ProfileLibrary:
+    """Ordered profiles per doc_class + a default catch-all."""
+
+    profiles: dict[str, list[Profile]] = field(default_factory=dict)
+
+    def add(self, profile: Profile) -> None:
+        self.profiles.setdefault(profile.doc_class, []).append(profile)
+        self.profiles[profile.doc_class].sort(key=lambda p: p.profile_id)
+
+    def for_class(self, doc_class: str) -> list[Profile]:
+        got = self.profiles.get(doc_class)
+        if got:
+            return got
+        return self.profiles.get("default", [DEFAULT_PROFILE])
+
+
+DEFAULT_PROFILE = Profile(doc_class="default", profile_id=0)
+
+
+def _parse_selector(sel: str) -> tuple[str, str]:
+    if "." in sel:
+        tag, cls = sel.split(".", 1)
+        return tag, cls
+    return sel, ""
+
+
+def _matches(el: Element, tag: str, cls: str) -> bool:
+    if tag and el.tag != tag:
+        return False
+    if cls and cls not in el.attr("class"):
+        return False
+    return True
+
+
+def apply_span_mask(root: Element, selectors: tuple[str, ...]) -> Element:
+    """Keep only subtrees matching any selector (document order) — the
+    alpha-mask analog. No selectors → identity."""
+    if not selectors:
+        return root
+    parsed = [_parse_selector(s) for s in selectors]
+    keep: list[Element] = []
+    for el in root.iter_elements():
+        if any(_matches(el, t, c) for t, c in parsed):
+            keep.append(el)
+    masked = Element("#masked", {}, None)
+    masked.children = list(keep)
+    return masked
+
+
+class ExtractionResult:
+    __slots__ = ("text", "fields_json", "profile_id", "status")
+
+    def __init__(self, text: str | None, fields_json: str | None,
+                 profile_id: int, status: str):
+        self.text = text
+        self.fields_json = fields_json
+        self.profile_id = profile_id
+        self.status = status
+
+
+def extract_with_profiles(html: bytes | str, profiles: list[Profile],
+                          compiled: dict[int, list[re.Pattern]] | None = None,
+                          ) -> ExtractionResult:
+    """The per-document fallback loop: try each profile in order.
+
+    ``compiled`` optionally maps ``id(profile)`` → precompiled field regexes
+    (the engine actor precompiles once; standalone calls compile lazily).
+    """
+    root = parse_html(html)
+    for prof in profiles:
+        masked = apply_span_mask(root, prof.keep_selectors)
+        if prof.keep_selectors:
+            source: Element | None = masked
+        else:
+            source = select_main(masked)
+        if source is None:
+            continue
+        lines: list[str] = []
+        _render_container(source, lines)
+        if prof.normalize:
+            lines = normalize_lines(lines, strip_cjk=prof.strip_cjk)
+        if not lines:
+            continue
+        text = "\n".join(lines) + "\n"
+        if prof.field_regexes:
+            pats = (compiled or {}).get(id(prof)) or [
+                re.compile(rx, re.MULTILINE) for rx in prof.field_regexes
+            ]
+            values: list[str] = []
+            for pat in pats:
+                m = pat.search(text)
+                if m is None:
+                    values = []
+                    break
+                values.append(m.group(1) if m.groups() else m.group(0))
+            if not values:
+                continue  # cardinality mismatch → next profile (M8)
+            fields_json = json.dumps(
+                dict(zip(prof.field_names, values)), ensure_ascii=False, sort_keys=True
+            )
+        else:
+            fields_json = None
+        return ExtractionResult(text, fields_json, prof.profile_id, "ok")
+    return ExtractionResult(None, None, -1, "failed_all_profiles")

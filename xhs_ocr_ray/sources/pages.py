@@ -1,0 +1,202 @@
+"""Deterministic synthetic `pages` corpus (BASELINE.json input_hint shape).
+
+Two generators:
+
+1. :func:`golden_corpus` — a small hand-written HTML/layout fixture set, one
+   per golden case in FIXTURES.md §1 (boilerplate, nested tables, CJK,
+   masked-span with profile fallback, paragraphs, code block, layout payload,
+   PDF stub, empty). Golden expected bytes live in ``goldens/``.
+
+2. :func:`pages_from_documents` — scales the corpus: wraps every row of the
+   driver's ``documents.parquet`` into a full synthetic page
+   ``(url, warc_ts, html, text, lang)``. Fully deterministic in ``doc_id``:
+
+   - ``doc_id % 17 == 3``  → %LAYOUT1 text-box payload (layout/PDF path);
+   - ``doc_id % 23 == 5``  → %PDF stub payload (quarantine path);
+   - ``doc_id % 50 == 7``  → the row is emitted TWICE (same url, +1h
+     timestamp) to exercise exact per-url dedup;
+   - ``doc_id % 199 == 11`` → the article body is repeated 40× (multi-hundred
+     KB row — the oversized-row skew case);
+   - otherwise            → boilerplate-wrapped HTML article.
+
+   Runs as a ``map_batches`` transform so corpus generation itself is a Ray
+   pipeline; :func:`ensure_pages_parquet` materializes + caches it under /tmp
+   (generation is never part of timed benchmark sections).
+"""
+
+from __future__ import annotations
+
+import html as html_mod
+import json
+import os
+import tempfile
+
+import pyarrow as pa
+
+BASE_TS_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z in microseconds
+HOUR_US = 3_600_000_000
+DAY_US = 24 * HOUR_US
+
+PAGES_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("warc_ts", pa.timestamp("us")),
+        ("html", pa.binary()),
+        ("text", pa.string()),
+        ("lang", pa.string()),
+    ]
+)
+
+_NAV = (
+    '<header class="site-header"><div class="logo">ExampleNews</div>'
+    '<nav><a href="/">Home</a> <a href="/world">World</a> '
+    '<a href="/tech">Tech</a> <a href="/sports">Sports</a></nav></header>'
+)
+_SIDEBAR = (
+    '<aside class="sidebar"><h3>Trending</h3><ul>'
+    '<li><a href="/a/1">Top story one</a></li>'
+    '<li><a href="/a/2">Top story two</a></li></ul></aside>'
+)
+_FOOTER = (
+    '<footer><p class="copyright">© 2024 Example Corp. '
+    '<a href="/terms">Terms</a> <a href="/privacy">Privacy</a></p></footer>'
+)
+_ADS = '<div class="ad-banner">Buy more compute! <a href="/buy">click</a></div>'
+
+WORDS_PER_PARA = 24
+
+
+def _paragraphs(text: str) -> list[str]:
+    words = text.split()
+    if not words:
+        return []
+    return [
+        " ".join(words[i : i + WORDS_PER_PARA])
+        for i in range(0, len(words), WORDS_PER_PARA)
+    ]
+
+
+def build_article_html(title: str, text: str, repeat: int = 1) -> bytes:
+    paras = _paragraphs(text) * repeat
+    body = "".join(f"<p>{html_mod.escape(p)}</p>" for p in paras)
+    page = (
+        "<html><head><title>" + html_mod.escape(title) + "</title></head><body>"
+        + _NAV + _ADS + '<div class="content-wrap"><article><h1>'
+        + html_mod.escape(title) + "</h1>" + body + "</article>"
+        + _SIDEBAR + "</div>" + _FOOTER + "</body></html>"
+    )
+    return page.encode("utf-8")
+
+
+def build_layout_payload(text: str, parser: str = "multi_para") -> bytes:
+    """Arrange the text's paragraphs as one text-box per line on a page grid."""
+    blocks = []
+    y = 10.0
+    for para in _paragraphs(text):
+        words = para.split()
+        # Two fragments per visual line, 6 words each → exercises line merge.
+        for i in range(0, len(words), 12):
+            left = " ".join(words[i : i + 6])
+            right = " ".join(words[i + 6 : i + 12])
+            if left:
+                blocks.append(
+                    {"box": [[10, y], [300, y], [300, y + 12], [10, y + 12]],
+                     "score": 0.99, "text": left}
+                )
+            if right:
+                blocks.append(
+                    {"box": [[308, y], [600, y], [600, y + 12], [308, y + 12]],
+                     "score": 0.98, "text": right}
+                )
+            y += 14.0
+        y += 20.0  # paragraph gap
+    doc = {"parser": parser, "blocks": blocks}
+    return b"%LAYOUT1\n" + json.dumps(doc, ensure_ascii=False).encode("utf-8")
+
+
+def _title_of(text: str, doc_id: int) -> str:
+    return " ".join(text.split()[:6]) or f"doc {doc_id}"
+
+
+def pages_from_documents(batch: pa.Table) -> pa.Table:
+    """map_batches transform: documents(doc_id, text, lang, source) → pages."""
+    doc_ids = batch.column("doc_id").to_pylist()
+    texts = batch.column("text").to_pylist()
+    langs = batch.column("lang").to_pylist()
+    sources = batch.column("source").to_pylist()
+    urls: list[str] = []
+    ts: list[int] = []
+    htmls: list[bytes] = []
+    out_text: list[str] = []
+    out_lang: list[str] = []
+
+    def emit(url: str, t_us: int, payload: bytes, text: str, lang: str) -> None:
+        urls.append(url)
+        ts.append(t_us)
+        htmls.append(payload)
+        out_text.append(text)
+        out_lang.append(lang)
+
+    for doc_id, text, lang, source in zip(doc_ids, texts, langs, sources):
+        text = text or ""
+        title = _title_of(text, doc_id)
+        url = f"https://{source}.example.com/article/{doc_id}"
+        t_us = BASE_TS_US + (doc_id % 30) * DAY_US + (doc_id % 24) * HOUR_US
+        if doc_id % 17 == 3:
+            url = f"https://{source}.example.com/layout/{doc_id}"
+            payload = build_layout_payload(text)
+        elif doc_id % 23 == 5:
+            url = f"https://{source}.example.com/pdf/{doc_id}"
+            payload = b"%PDF-1.7\n" + text.encode("utf-8")[:64]
+        elif doc_id % 199 == 11:
+            payload = build_article_html(title, text, repeat=40)
+        else:
+            payload = build_article_html(title, text)
+        emit(url, t_us, payload, text, lang)
+        if doc_id % 50 == 7:
+            emit(url, t_us + HOUR_US, payload, text, lang)
+
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(ts, pa.timestamp("us")),
+            "html": pa.array(htmls, pa.binary()),
+            "text": pa.array(out_text, pa.string()),
+            "lang": pa.array(out_lang, pa.string()),
+        },
+        schema=PAGES_SCHEMA,
+    )
+
+
+GENERATOR_VERSION = 3  # bump to invalidate /tmp page caches
+
+
+def ensure_pages_parquet(sf_dir: str, cache_root: str = "/tmp/xhs_pages_cache") -> str:
+    """Materialize the pages corpus for ``sf_dir`` once; return its directory.
+
+    Atomic: generates into a temp dir and renames. Safe to call from multiple
+    fresh processes (the bench runs at two parallelism levels).
+    """
+    import ray.data  # deferred: keep module importable without a Ray session
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) + f"_v{GENERATOR_VERSION}"
+    out_dir = os.path.join(cache_root, tag)
+    done_marker = os.path.join(out_dir, "_GENERATED")
+    if os.path.exists(done_marker):
+        return out_dir
+    os.makedirs(cache_root, exist_ok=True)
+    tmp_dir = tempfile.mkdtemp(prefix=tag + ".", dir=cache_root)
+    (
+        ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+        .map_batches(pages_from_documents, batch_format="pyarrow", batch_size=512)
+        .write_parquet(tmp_dir)
+    )
+    with open(os.path.join(tmp_dir, "_GENERATED"), "w") as f:
+        f.write("ok\n")
+    try:
+        os.rename(tmp_dir, out_dir)
+    except OSError:
+        import shutil
+
+        shutil.rmtree(tmp_dir, ignore_errors=True)  # a concurrent generator won
+    return out_dir

@@ -1,44 +1,398 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``entry()`` runs the flagship extraction pipeline on a pages corpus derived
+deterministically from ``/root/testdata/sf0.001/documents.parquet``
+(BASELINE.json ``input_hint`` shape). ``queries()`` exposes one callable per
+implemented operator (SURVEY.md §2 + the training-data extensions);
+``oracle_sql()`` gives the DuckDB-equivalent SQL for every SQL-expressible
+entry. Ray is initialised by the driver — nothing here calls ``ray.init()``.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+_URGENT = "1-URGENT"
+_WINDOW_CUT = "2024-01-20 00:00:00"
+
+
+def _read(sf_dir: str, name: str, **kwargs):
+    import ray.data
+
+    return ray.data.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), **kwargs)
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: pages → extract → dedup → lineage-joinable output."""
+    import ray.data
+
+    from xhs_ocr_ray.pipelines.extract_pages import extract_dataset
+    from xhs_ocr_ray.sources.pages import ensure_pages_parquet
+    from xhs_ocr_ray.stages.dedup import exact_dedup
+
+    pages_dir = ensure_pages_parquet("/root/testdata/sf0.001")
+    pages = ray.data.read_parquet(pages_dir, columns=["url", "warc_ts", "html", "lang"])
+    extracted = extract_dataset(pages, concurrency=(1, 4), batch_size=64)
+    return exact_dedup(extracted, ["url"], "warc_ts")
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def _q_window_filter(sf_dir: str):
+    import pyarrow.compute as pc
+
+    cut = pc.strptime(_WINDOW_CUT, format="%Y-%m-%d %H:%M:%S", unit="us")
+    return (
+        _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"])
+        .map_batches(
+            lambda b: b.filter(pc.greater_equal(b.column("ts"), cut)),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def _orders_sides(sf_dir: str):
+    """Two derived order tables sharing key ``k`` (SQL-reproducible)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import numpy as np
+
+    def side_a(b: pa.Table) -> pa.Table:
+        keys = b.column("o_orderkey").to_numpy(zero_copy_only=False)
+        b = b.filter(pa.array(keys % 3 != 0))
+        status = pc.if_else(
+            pc.equal(b.column("o_orderpriority"), _URGENT),
+            pa.scalar("", pa.string()),
+            b.column("o_orderstatus"),
+        )
+        return pa.table(
+            {
+                "k": pc.cast(b.column("o_orderkey"), pa.string()),
+                "status": status,
+                "cust": pc.cast(b.column("o_custkey"), pa.string()),
+            }
+        )
+
+    def side_b(b: pa.Table) -> pa.Table:
+        keys = b.column("o_orderkey").to_numpy(zero_copy_only=False)
+        b = b.filter(pa.array(keys % 2 == 0))
+        return pa.table(
+            {
+                "k": pc.cast(b.column("o_orderkey"), pa.string()),
+                "status": b.column("o_orderstatus"),
+                "orderdate": pc.strftime(b.column("o_orderdate"), format="%Y-%m-%d"),
+            }
+        )
+
+    cols = ["o_orderkey", "o_orderstatus", "o_orderpriority", "o_custkey", "o_orderdate"]
+    a = _read(sf_dir, "orders", columns=cols).map_batches(side_a, batch_format="pyarrow")
+    b = _read(sf_dir, "orders", columns=cols).map_batches(side_b, batch_format="pyarrow")
+    return a, b
+
+
+def _q_related_merge(sf_dir: str):
+    from xhs_ocr_ray.stages.merge import related_merge
+
+    a, b = _orders_sides(sf_dir)
+    return related_merge([a, b], ["k"])
+
+
+def _q_unrelated_merge(sf_dir: str):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from xhs_ocr_ray.stages.merge import unrelated_merge
+
+    cust = _read(sf_dir, "customer", columns=["c_name", "c_nationkey"]).map_batches(
+        lambda b: pa.table(
+            {
+                "name": b.column("c_name"),
+                "nation": pc.cast(b.column("c_nationkey"), pa.string()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    supp = _read(sf_dir, "supplier", columns=["s_name", "s_nationkey", "s_suppkey"]).map_batches(
+        lambda b: pa.table(
+            {
+                "name": b.column("s_name"),
+                "nation": pc.cast(b.column("s_nationkey"), pa.string()),
+                "supp_id": pc.cast(b.column("s_suppkey"), pa.string()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return unrelated_merge([cust, supp])
+
+
+def _q_exact_dedup(sf_dir: str):
+    from xhs_ocr_ray.stages.dedup import exact_dedup
+
+    return exact_dedup(_read(sf_dir, "documents"), ["lang", "source"], "doc_id")
+
+
+def _q_lineage_metrics(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    from xhs_ocr_ray.stages.text_analysis import grouped_partial_counts
+
+    return (
+        _read(sf_dir, "documents", columns=["source", "lang", "n_chars"])
+        .map_batches(
+            grouped_partial_counts,
+            batch_format="pyarrow",
+            fn_kwargs={"group_cols": ["source", "lang"], "sum_col": "n_chars"},
+        )
+        .groupby(["source", "lang"])
+        .aggregate(
+            Sum("n_rows", alias_name="n_docs"),
+            Sum("sum_val", alias_name="chars_sum"),
+        )
+    )
+
+
+def _q_pricing_summary(sf_dir: str):
+    """TPC-H-Q1-shaped groupby (integer-valued sums → float-exact)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    cut = pc.strptime("1998-09-02 00:00:00", format="%Y-%m-%d %H:%M:%S", unit="us")
+    return (
+        _read(sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus", "l_quantity", "l_shipdate"])
+        .map_batches(
+            lambda b: b.filter(pc.less_equal(b.column("l_shipdate"), cut)),
+            batch_format="pyarrow",
+        )
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Count(alias_name="count_order"),
+        )
+    )
+
+
+def _q_token_count(sf_dir: str):
+    from xhs_ocr_ray.stages.text_analysis import token_count_batch
+
+    return (
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(token_count_batch, batch_format="pyarrow")
+        .select_columns(["doc_id", "n_tokens"])
+    )
+
+
+def _q_quality_score(sf_dir: str):
+    from xhs_ocr_ray.stages.text_analysis import quality_score_batch
+
+    return (
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(quality_score_batch, batch_format="pyarrow")
+        .select_columns(["doc_id", "n_chars_txt", "n_tokens", "n_punct", "punct_ratio"])
+    )
+
+
+def _q_fingerprint(sf_dir: str):
+    from xhs_ocr_ray.stages.text_analysis import fingerprint_batch
+
+    return (
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(fingerprint_batch, batch_format="pyarrow")
+        .select_columns(["doc_id", "fp_md5"])
+    )
+
+
+def _q_ann_topk(sf_dir: str):
+    """Brute-force cosine top-10 vs the vec_id=0 embedding (ids only)."""
+    import pyarrow as pa
+
+    from xhs_ocr_ray.stages.similarity import brute_force_topk
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    q = emb.filter(lambda r: r["vec_id"] == 0).take(1)[0]["embedding"]
+    top = brute_force_topk(emb, q, k=10)
+    return pa.table({"vec_id": top.column("vec_id")})
+
+
+# -- rows-only (non-SQL-expressible) ----------------------------------------
+
+def _q_extract_pages(sf_dir: str):
+    import ray.data
+
+    from xhs_ocr_ray.pipelines.extract_pages import extract_dataset
+    from xhs_ocr_ray.sources.pages import ensure_pages_parquet
+    from xhs_ocr_ray.stages.dedup import exact_dedup
+
+    pages_dir = ensure_pages_parquet(sf_dir)
+    pages = ray.data.read_parquet(pages_dir, columns=["url", "warc_ts", "html", "lang"])
+    extracted = extract_dataset(pages, concurrency=(1, 4), batch_size=64)
+    return exact_dedup(extracted, ["url"], "warc_ts").select_columns(
+        ["url", "status", "profile_id", "n_chars", "n_lines"]
+    )
+
+
+def _q_lineage_pages(sf_dir: str):
+    import ray.data
+
+    from xhs_ocr_ray.pipelines.extract_pages import extract_dataset
+    from xhs_ocr_ray.sources.pages import ensure_pages_parquet
+    from xhs_ocr_ray.stages.lineage import prefix_summary
+
+    pages_dir = ensure_pages_parquet(sf_dir)
+    pages = ray.data.read_parquet(pages_dir, columns=["url", "warc_ts", "html", "lang"])
+    return prefix_summary(extract_dataset(pages, concurrency=(1, 4), batch_size=64))
+
+
+def _q_minhash_dedup(sf_dir: str):
+    from xhs_ocr_ray.stages.dedup import minhash_lsh_dedup
+
+    return minhash_lsh_dedup(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]), "text", "doc_id"
+    )
+
+
+def _q_simhash_dedup(sf_dir: str):
+    from xhs_ocr_ray.stages.dedup import simhash_dedup
+
+    return simhash_dedup(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]), "text", "doc_id"
+    )
+
+
+def _q_embedding_neardup(sf_dir: str):
+    from xhs_ocr_ray.stages.dedup import embedding_dedup
+
+    return embedding_dedup(
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
+        "embedding",
+        "vec_id",
+        threshold=0.9,
+    )
+
+
+def _q_ngram_jaccard(sf_dir: str):
+    from xhs_ocr_ray.stages.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _read(sf_dir, "documents", columns=["doc_id", "text", "lang", "source"]),
+        "text",
+        "doc_id",
+        ["lang", "source"],
+        threshold=0.3,
+    )
+
+
+def _q_lang_id(sf_dir: str):
+    from xhs_ocr_ray.stages.text_analysis import LangId
+
+    return (
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(LangId, batch_format="pyarrow", concurrency=2)
+        .select_columns(["doc_id", "lang_pred"])
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "window_filter": _q_window_filter,
+        "related_merge": _q_related_merge,
+        "unrelated_merge": _q_unrelated_merge,
+        "exact_dedup": _q_exact_dedup,
+        "lineage_metrics": _q_lineage_metrics,
+        "pricing_summary": _q_pricing_summary,
+        "token_count": _q_token_count,
+        "quality_score": _q_quality_score,
+        "fingerprint": _q_fingerprint,
+        "ann_topk": _q_ann_topk,
+        "extract_pages": _q_extract_pages,
+        "lineage_pages": _q_lineage_pages,
+        "minhash_dedup": _q_minhash_dedup,
+        "simhash_dedup": _q_simhash_dedup,
+        "embedding_neardup": _q_embedding_neardup,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "lang_id": _q_lang_id,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "window_filter": (
+            "SELECT event_id, ts, user_id, event_type FROM events "
+            f"WHERE ts >= TIMESTAMP '{_WINDOW_CUT}'"
+        ),
+        "related_merge": f"""
+            WITH a AS (
+                SELECT CAST(o_orderkey AS VARCHAR) AS k,
+                       CASE WHEN o_orderpriority = '{_URGENT}' THEN ''
+                            ELSE o_orderstatus END AS status,
+                       CAST(o_custkey AS VARCHAR) AS cust
+                FROM orders WHERE o_orderkey % 3 <> 0
+            ), b AS (
+                SELECT CAST(o_orderkey AS VARCHAR) AS k,
+                       o_orderstatus AS status,
+                       strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+                FROM orders WHERE o_orderkey % 2 = 0
+            )
+            SELECT COALESCE(a.k, b.k) AS k,
+                   COALESCE(NULLIF(b.status, ''), NULLIF(a.status, ''), '') AS status,
+                   COALESCE(NULLIF(a.cust, ''), '') AS cust,
+                   COALESCE(NULLIF(b.orderdate, ''), '') AS orderdate
+            FROM a FULL OUTER JOIN b ON a.k = b.k
+        """,
+        "unrelated_merge": """
+            SELECT c_name AS name, CAST(c_nationkey AS VARCHAR) AS nation,
+                   '' AS supp_id
+            FROM customer
+            UNION ALL
+            SELECT s_name AS name, CAST(s_nationkey AS VARCHAR) AS nation,
+                   CAST(s_suppkey AS VARCHAR) AS supp_id
+            FROM supplier
+        """,
+        "exact_dedup": """
+            SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+            FROM documents d
+            JOIN (SELECT lang, source, min(doc_id) AS m
+                  FROM documents GROUP BY lang, source) g
+              ON d.doc_id = g.m
+        """,
+        "lineage_metrics": (
+            "SELECT source, lang, count(*) AS n_docs, "
+            "CAST(sum(n_chars) AS BIGINT) AS chars_sum "
+            "FROM documents GROUP BY source, lang"
+        ),
+        "pricing_summary": (
+            "SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, "
+            "count(*) AS count_order FROM lineitem "
+            "WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
+            "GROUP BY l_returnflag, l_linestatus"
+        ),
+        "token_count": (
+            r"SELECT doc_id, CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT)"
+            " AS n_tokens FROM documents"
+        ),
+        "quality_score": r"""
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars_txt,
+                   CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+                   CAST(length(regexp_extract_all(text, '[.!?,;:]')) AS BIGINT) AS n_punct,
+                   CAST(length(regexp_extract_all(text, '[.!?,;:]')) AS DOUBLE)
+                     / CAST(greatest(length(text), 1) AS DOUBLE) AS punct_ratio
+            FROM documents
+        """,
+        "fingerprint": "SELECT doc_id, md5(text) AS fp_md5 FROM documents",
+        "ann_topk": """
+            SELECT e.vec_id
+            FROM embeddings e,
+                 (SELECT embedding AS q FROM embeddings WHERE vec_id = 0)
+            ORDER BY list_cosine_similarity(e.embedding, q) DESC, e.vec_id
+            LIMIT 10
+        """,
+    }

@@ -1,0 +1,77 @@
+"""Near-dup family: MinHash-LSH, SimHash, n-gram Jaccard, embedding cosine."""
+
+import numpy as np
+
+from xhs_ocr_ray.stages.dedup import (
+    embedding_dedup,
+    minhash_lsh_dedup,
+    ngram_jaccard_pairs,
+    simhash_dedup,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the rain in spain "
+    "falls mainly on the plain and every good boy deserves fudge today"
+)
+
+
+def _docs():
+    import ray.data
+
+    near = BASE.replace("fudge", "cake")  # tiny edit → near-dup of BASE
+    other = (
+        "completely different content about distributed dataflow engines "
+        "processing arrow batches with streaming backpressure semantics"
+    )
+    return ray.data.from_items(
+        [
+            {"doc_id": 1, "text": BASE, "lang": "en", "source": "s"},
+            {"doc_id": 2, "text": near, "lang": "en", "source": "s"},
+            {"doc_id": 3, "text": other, "lang": "en", "source": "s"},
+            {"doc_id": 4, "text": BASE, "lang": "en", "source": "s"},  # exact dup
+        ]
+    )
+
+
+def test_minhash_lsh_clusters_near_dups(ray_session):
+    out = minhash_lsh_dedup(_docs(), "text", "doc_id", threshold=0.6)
+    m = {r["doc_id"]: r["cluster_id"] for r in out.take_all()}
+    assert m[1] == m[2] == m[4] == 1
+    assert m[3] == 3
+
+
+def test_simhash_clusters_near_dups(ray_session):
+    out = simhash_dedup(_docs(), "text", "doc_id", max_hamming=3)
+    m = {r["doc_id"]: r["cluster_id"] for r in out.take_all()}
+    assert m[1] == m[4] == 1  # exact dup always hamming 0
+    assert m[3] == 3
+
+
+def test_ngram_jaccard_pairs(ray_session):
+    pairs = ngram_jaccard_pairs(
+        _docs(), "text", "doc_id", ["lang", "source"], n=3, threshold=0.5
+    ).to_pandas()
+    got = {(int(a), int(b)) for a, b in zip(pairs["a"], pairs["b"])}
+    assert (1, 4) in got  # identical docs → jaccard 1.0
+    assert (1, 2) in got  # one-word edit → high jaccard
+    assert not any(3 in p for p in got)
+
+
+def test_embedding_dedup(ray_session):
+    import ray.data
+
+    rng = np.random.default_rng(0)
+    v = rng.standard_normal(16).astype(np.float32)
+    near = v + rng.standard_normal(16).astype(np.float32) * 0.01
+    far = rng.standard_normal(16).astype(np.float32)
+    ds = ray.data.from_items(
+        [
+            {"vec_id": 1, "embedding": v.tolist()},
+            {"vec_id": 2, "embedding": near.tolist()},
+            {"vec_id": 3, "embedding": far.tolist()},
+        ]
+    )
+    out = embedding_dedup(ds, "embedding", "vec_id", threshold=0.95)
+    m = {r["vec_id"]: r["cluster_id"] for r in out.take_all()}
+    assert m[1] == m[2] == 1
+    assert m[3] == 3

@@ -1,0 +1,118 @@
+"""End-to-end Ray pipeline tests: golden bytes per url, dedup, resume."""
+
+import os
+import shutil
+
+import pyarrow as pa
+import pytest
+
+from xhs_ocr_ray.pipelines.extract_pages import (
+    bucketize,
+    extract_dataset,
+    run_extract,
+)
+from xhs_ocr_ray.sources.golden import GOLDEN_PROFILES, golden_corpus, golden_key
+from xhs_ocr_ray.sources.pages import PAGES_SCHEMA
+from xhs_ocr_ray.stages.dedup import exact_dedup
+
+GOLDEN_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "goldens")
+
+
+def _golden_pages_ds():
+    import ray.data
+
+    rows = golden_corpus()
+    table = pa.table(
+        {
+            "url": [r["url"] for r in rows],
+            "warc_ts": pa.array([r["warc_ts"] for r in rows], pa.timestamp("us")),
+            "html": pa.array([r["html"] for r in rows], pa.binary()),
+            "text": [r["text"] for r in rows],
+            "lang": [r["lang"] for r in rows],
+        },
+        schema=PAGES_SCHEMA,
+    )
+    return ray.data.from_arrow(table)
+
+
+def test_extract_dataset_matches_goldens(ray_session):
+    out = extract_dataset(
+        _golden_pages_ds(), library=GOLDEN_PROFILES, concurrency=2, batch_size=4
+    ).to_pandas()
+    assert len(out) == len(golden_corpus())
+    for _, row in out.iterrows():
+        key = golden_key(row["url"])
+        with open(os.path.join(GOLDEN_DIR, key + ".txt"), "rb") as f:
+            want = f.read()
+        got = (row["extracted_text"] or "").encode("utf-8")
+        assert got == want, key
+
+
+def test_extract_dataset_deterministic(ray_session):
+    a = extract_dataset(_golden_pages_ds(), library=GOLDEN_PROFILES).to_pandas()
+    b = extract_dataset(_golden_pages_ds(), library=GOLDEN_PROFILES).to_pandas()
+    a = a.sort_values("url").reset_index(drop=True)
+    b = b.sort_values("url").reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_exact_dedup_first_wins(ray_session):
+    import ray.data
+
+    ds = ray.data.from_items(
+        [
+            {"url": "u1", "warc_ts": 200, "text": "late"},
+            {"url": "u1", "warc_ts": 100, "text": "early"},
+            {"url": "u2", "warc_ts": 50, "text": "only"},
+        ]
+    )
+    out = exact_dedup(ds, ["url"], "warc_ts").to_pandas().sort_values("url")
+    assert out["text"].tolist() == ["early", "only"]
+    assert out["warc_ts"].tolist() == [100, 50]
+
+
+@pytest.fixture()
+def staged_run(tmp_path, ray_session):
+    import ray.data
+
+    staged = str(tmp_path / "staged")
+    out = str(tmp_path / "out")
+    src = str(tmp_path / "src")
+    ds = _golden_pages_ds()
+    os.makedirs(src)
+    ds.write_parquet(src)
+    bucketize(src, staged, num_buckets=4)
+    return staged, out
+
+
+def test_run_extract_and_resume(staged_run):
+    staged, out = staged_run
+    res = run_extract(staged, out, library=GOLDEN_PROFILES, buckets_per_job=1,
+                      concurrency=1, batch_size=8)
+    assert res["rows_written"] == len(golden_corpus())
+    assert not res["skipped"]
+    # Second run: everything skipped, nothing recomputed.
+    res2 = run_extract(staged, out, library=GOLDEN_PROFILES)
+    assert res2["rows_written"] == 0
+    assert sorted(res2["skipped"]) == sorted(res["processed"])
+    # Invalidate one bucket's manifest → only that bucket recomputes.
+    victim = res["processed"][0]
+    os.unlink(os.path.join(out, "_manifests", f"{victim}.json"))
+    res3 = run_extract(staged, out, library=GOLDEN_PROFILES, buckets_per_job=1)
+    assert res3["processed"] == [victim]
+
+
+def test_bucketize_idempotent(staged_run, tmp_path):
+    staged, _ = staged_run
+    marker = os.path.join(staged, "_manifests", "_bucketize.json")
+    mtime = os.path.getmtime(marker)
+    bucketize(str(tmp_path / "src"), staged, num_buckets=4)  # same inputs
+    assert os.path.getmtime(marker) == mtime  # skipped, not rewritten
+
+
+def test_quarantine_rows_kept(ray_session):
+    out = extract_dataset(_golden_pages_ds(), library=GOLDEN_PROFILES).to_pandas()
+    statuses = out.set_index(out["url"].map(golden_key))["status"]
+    assert statuses["pdf-stub"] == "unsupported_payload"
+    assert statuses["empty"] == "failed_all_profiles"
+    assert (statuses.drop(["pdf-stub", "empty"]) == "ok").all()

@@ -1,0 +1,164 @@
+"""The flagship pipeline (SURVEY.md §3 "Graft lifecycle").
+
+Two phases, both resumable via per-bucket manifests:
+
+1. :func:`bucketize` — one-time ingest: read raw pages parquet, compute
+   ``bucket = crc32(url) % B`` (the explicit repartition-by-url-hash), split
+   oversized rows to their own path tag, and write hive-partitioned
+   ``bucket=i/`` parquet. Same url → same bucket, so later per-bucket dedup
+   is globally correct.
+2. :func:`run_extract` — per pending bucket group: read → actor-pool
+   extraction (warmed :class:`~xhs_ocr_ray.engine.ExtractorEngine`) → per-url
+   exact dedup (first-wins by warc_ts) → write ``out/data/<group>/`` +
+   lineage parquet + atomic manifests. Buckets whose manifests match the
+   input fingerprint are skipped without reading a byte.
+
+Scale notes: the html column is projected away at the extract stage (never
+carried past it); reads prune to the 4 needed columns; the only all-to-all
+exchanges are the bucketize write and the per-url dedup groupby (which runs
+*within* a job whose buckets partition the url space).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import zlib
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from xhs_ocr_ray.engine import ExtractorEngine
+from xhs_ocr_ray.profiles import ProfileLibrary
+from xhs_ocr_ray.stages.dedup import exact_dedup
+from xhs_ocr_ray.stages.lineage import prefix_summary
+from xhs_ocr_ray.state import checkpoint as ckpt
+
+OVERSIZED_HTML = 1 << 20  # 1 MiB: route giant rows to a dedicated tag
+
+
+def add_bucket(batch: pa.Table, num_buckets: int) -> pa.Table:
+    """Stable url-hash bucket (zlib.crc32 — process-independent)."""
+    urls = batch.column("url").to_pylist()
+    buckets = [zlib.crc32(u.encode("utf-8")) % num_buckets for u in urls]
+    return batch.append_column("bucket", pa.array(buckets, pa.int32()))
+
+
+def bucketize(input_paths: list[str] | str, staged_dir: str, *,
+              num_buckets: int = 16) -> str:
+    """Repartition raw pages by url hash into hive ``bucket=i/`` dirs.
+
+    Idempotent: skipped when the staged manifest matches the input
+    fingerprint.
+    """
+    import ray.data
+
+    if isinstance(input_paths, str):
+        input_paths = sorted(glob.glob(os.path.join(input_paths, "*.parquet")))
+    fp = ckpt.input_fingerprint(input_paths)
+    if ckpt.is_complete(staged_dir, "_bucketize", fp):
+        return staged_dir
+    data_dir = os.path.join(staged_dir, "data")
+    with ckpt.atomic_output_dir(data_dir) as tmp:
+        (
+            ray.data.read_parquet(input_paths)
+            .map_batches(add_bucket, batch_format="pyarrow",
+                         fn_kwargs={"num_buckets": num_buckets})
+            .write_parquet(tmp, partition_cols=["bucket"])
+        )
+    ckpt.commit_manifest(staged_dir, "_bucketize",
+                         {"fingerprint": fp, "status": "ok",
+                          "num_buckets": num_buckets})
+    return staged_dir
+
+
+def _bucket_dirs(staged_dir: str) -> dict[str, list[str]]:
+    out: dict[str, list[str]] = {}
+    for d in sorted(glob.glob(os.path.join(staged_dir, "data", "bucket=*"))):
+        sid = os.path.basename(d).split("=", 1)[1]
+        out[sid] = sorted(glob.glob(os.path.join(d, "*.parquet")))
+    return out
+
+
+def run_extract(staged_dir: str, out_dir: str, *,
+                library: ProfileLibrary | None = None,
+                since_ts=None,
+                concurrency: int | tuple = (1, 8),
+                batch_size: int = 64,
+                buckets_per_job: int | None = None) -> dict:
+    """Extract + dedup + lineage over pending buckets; returns run metrics.
+
+    ``buckets_per_job=None`` processes all pending buckets in one streaming
+    job (fastest; coarse resume). Small values give finer resume granularity
+    (manifests commit after each group).
+    """
+    import pyarrow.compute as pc
+    import ray.data
+
+    buckets = _bucket_dirs(staged_dir)
+    shards = {sid: ckpt.input_fingerprint(files) for sid, files in buckets.items()}
+    pending = ckpt.pending_shards(shards, out_dir)
+    skipped = [sid for sid in shards if sid not in pending]
+    if not pending:
+        return {"rows_written": 0, "processed": [], "skipped": skipped}
+
+    group_size = buckets_per_job or len(pending)
+    groups = [pending[i : i + group_size] for i in range(0, len(pending), group_size)]
+    total_rows = 0
+    for group in groups:
+        files = [f for sid in group for f in buckets[sid]]
+        ds = ray.data.read_parquet(
+            files, columns=["url", "warc_ts", "html", "lang"]
+        )
+        if since_ts is not None:
+            # Window filter (the OCR_RECENT_DAYS analog): vectorized inside
+            # map_batches — cheaper than row-wise Dataset.filter.
+            ds = ds.map_batches(
+                lambda b, cut=since_ts: b.filter(
+                    pc.greater_equal(b.column("warc_ts"), cut)
+                ),
+                batch_format="pyarrow",
+            )
+        extracted = ds.map_batches(
+            ExtractorEngine,
+            fn_constructor_kwargs={"library": library},
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+        )
+        deduped = exact_dedup(extracted, ["url"], "warc_ts")
+        gid = f"{group[0]}-{group[-1]}"
+        data_dir = os.path.join(out_dir, "data", f"group={gid}")
+        with ckpt.atomic_output_dir(data_dir) as tmp:
+            deduped.write_parquet(tmp)
+        lineage_dir = os.path.join(out_dir, "lineage", f"group={gid}")
+        lineage_ds = prefix_summary(ray.data.read_parquet(data_dir))
+        with ckpt.atomic_output_dir(lineage_dir) as tmp:
+            lineage_ds.write_parquet(tmp)
+        n = sum(
+            pq.read_metadata(f).num_rows
+            for f in glob.glob(os.path.join(data_dir, "*.parquet"))
+        )
+        total_rows += n
+        for sid in group:
+            ckpt.commit_manifest(
+                out_dir, sid,
+                {"fingerprint": shards[sid], "status": "ok",
+                 "group": gid, "rows_in_group": n},
+            )
+    return {"rows_written": total_rows, "processed": pending, "skipped": skipped}
+
+
+def extract_dataset(pages_ds, *, library: ProfileLibrary | None = None,
+                    concurrency: int | tuple = (1, 8), batch_size: int = 64):
+    """Library form: pages Dataset → extracted Dataset (no checkpointing).
+
+    Used by the driver's ``entry()``/``queries()`` and by tests.
+    """
+    return pages_ds.map_batches(
+        ExtractorEngine,
+        fn_constructor_kwargs={"library": library},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

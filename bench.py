@@ -1,0 +1,150 @@
+"""Benchmark harness (driver contract: prints ONE JSON line).
+
+Headline: the flagship pipeline — bucketize(url-hash repartition) →
+actor-pool extraction → per-url dedup → lineage → partitioned parquet write —
+over the deterministic pages corpus derived from ``$GRAFT_SF_DIR`` documents
+(amplified ×``$BENCH_REPLICAS``, default 8). Corpus generation and an OS
+page-cache warm-up read are untimed.
+
+``--scaling``: runs the identical job in two fresh processes at
+``num_cpus=8`` and ``num_cpus=32`` on the same input and reports throughputs
+plus efficiency = (docs/s@32 / docs/s@8) / 4 (the sandbox substitute for the
+north rule's N-vs-4N-node criterion; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+REPLICAS = int(os.environ.get("BENCH_REPLICAS", "8"))
+
+QUERY_NAMES = [
+    "window_filter", "related_merge", "unrelated_merge", "exact_dedup",
+    "lineage_metrics", "pricing_summary", "token_count", "quality_score",
+    "fingerprint", "ann_topk", "minhash_dedup", "simhash_dedup",
+    "embedding_neardup", "lang_id",
+]
+
+
+def run_headline() -> tuple[float, int]:
+    """Timed seconds + docs written for the full pipeline."""
+    from xhs_ocr_ray.pipelines.extract_pages import bucketize, run_extract
+    from xhs_ocr_ray.sources.pages import ensure_pages_parquet
+
+    pages_dir = ensure_pages_parquet(SF_DIR, replicas=REPLICAS)  # untimed
+
+    # Warm the OS page cache (untimed) so we measure compute+shuffle.
+    import ray.data
+
+    ray.data.read_parquet(pages_dir, columns=["url"]).count()
+
+    work = f"/tmp/bench_work_{os.getpid()}"
+    shutil.rmtree(work, ignore_errors=True)
+    staged, out = os.path.join(work, "staged"), os.path.join(work, "out")
+    t0 = time.perf_counter()
+    bucketize(pages_dir, staged, num_buckets=max(NUM_CPUS, 8))
+    # Pool floor at half the CPUs: skips the slow autoscaling ramp but always
+    # leaves CPUs for the read/shuffle/write stages (a floor == num_cpus
+    # deadlocks the pipeline).
+    res = run_extract(
+        staged, out,
+        concurrency=(max(1, NUM_CPUS // 2), NUM_CPUS),
+        batch_size=128,
+    )
+    dt = time.perf_counter() - t0
+    shutil.rmtree(work, ignore_errors=True)
+    return dt, res["rows_written"]
+
+
+def run_queries() -> dict[str, float]:
+    import __ray_entry__ as entrymod
+
+    qs = entrymod.queries()
+    out: dict[str, float] = {}
+    for name in QUERY_NAMES:
+        t0 = time.perf_counter()
+        res = qs[name](SF_DIR)
+        if hasattr(res, "to_pandas"):
+            res.to_pandas()
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def main() -> None:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    import ray.data
+
+    ctx = ray.data.DataContext.get_current()
+    ctx.enable_progress_bars = False
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    sec, docs = run_headline()
+    queries = {} if os.environ.get("BENCH_SKIP_QUERIES") else run_queries()
+    print(
+        json.dumps(
+            {
+                "metric": "extract_pipeline_sec",
+                "value": round(sec, 3),
+                "unit": "sec",
+                "docs_written": docs,
+                "docs_per_sec": round(docs / sec, 1),
+                "queries": queries,
+                "sf": SF_DIR,
+                "num_cpus": NUM_CPUS,
+                "replicas": REPLICAS,
+            }
+        )
+    )
+    ray.shutdown()
+
+
+def scaling() -> None:
+    """Fresh process per parallelism level; identical input (shared cache)."""
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_SKIP_QUERIES="1")
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = run(8), run(32)
+    eff = (lo["docs_per_sec"] and hi["docs_per_sec"] / lo["docs_per_sec"] / (32 / 8))
+    print(
+        json.dumps(
+            {
+                "metric": "scaling_efficiency",
+                "value": round(eff, 3),
+                "unit": "ratio",
+                "docs_per_sec_8": lo["docs_per_sec"],
+                "docs_per_sec_32": hi["docs_per_sec"],
+                "sec_8": lo["value"],
+                "sec_32": hi["value"],
+                "sf": SF_DIR,
+                "replicas": REPLICAS,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()

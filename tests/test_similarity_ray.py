@@ -1,0 +1,80 @@
+import numpy as np
+import pytest
+
+from xhs_ocr_ray.stages.multimodal import FrameSample, ImageDecode, synth_media_table
+from xhs_ocr_ray.stages.similarity import LshIndexSearch, brute_force_topk
+
+
+def _emb_ds(n=64, dim=16, seed=3):
+    import ray.data
+
+    rng = np.random.default_rng(seed)
+    vecs = rng.standard_normal((n, dim)).astype(np.float32)
+    return ray.data.from_items(
+        [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(n)]
+    ), vecs
+
+
+def test_brute_force_topk_matches_numpy(ray_session):
+    ds, vecs = _emb_ds()
+    q = vecs[0]
+    top = brute_force_topk(ds, q, k=5)
+    unit = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    want = np.argsort(-(unit @ (q / np.linalg.norm(q))))[:5].tolist()
+    assert top.column("vec_id").to_pylist() == want
+    sims = top.column("sim").to_pylist()
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_lsh_index_recall(ray_session):
+    ds, vecs = _emb_ds(n=128)
+    idx = LshIndexSearch(ds, num_planes=6, probe_hamming=2)
+    hits = 0
+    for qi in range(8):
+        got = [i for i, _ in idx.search(vecs[qi], k=5)]
+        assert qi in got  # the vector itself must always be found
+        unit = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        exact = set(np.argsort(-(unit @ unit[qi]))[:5].tolist())
+        hits += len(set(got) & exact)
+    assert hits / (8 * 5) > 0.5  # multi-probe recall over half
+
+
+def test_image_decode_stub_raises_without_fake():
+    dec = ImageDecode()
+    with pytest.raises(NotImplementedError):
+        dec._decode(b"payload", 8, 8)
+
+
+def test_image_decode_fake_deterministic(ray_session):
+    import ray.data
+
+    ds = ray.data.from_arrow(synth_media_table(12))
+    out = (
+        ds.map_batches(ImageDecode, fn_constructor_kwargs={"fake": True},
+                       batch_format="pyarrow", batch_size=4, concurrency=(1, 2))
+        .to_pandas()
+        .sort_values("media_id")
+    )
+    assert len(out) == 12
+    assert all(len(f) == 64 for f in out["feature"])
+    out2 = (
+        ray.data.from_arrow(synth_media_table(12))
+        .map_batches(ImageDecode, fn_constructor_kwargs={"fake": True},
+                     batch_format="pyarrow", batch_size=4, concurrency=(1, 2))
+        .to_pandas()
+        .sort_values("media_id")
+    )
+    assert np.allclose(np.stack(out["feature"].map(np.asarray)),
+                       np.stack(out2["feature"].map(np.asarray)))
+
+
+def test_frame_sample_fanout(ray_session):
+    import ray.data
+
+    ds = ray.data.from_arrow(synth_media_table(6))
+    out = ds.map_batches(
+        FrameSample, fn_constructor_kwargs={"fake": True, "n_frames": 3},
+        batch_format="pyarrow", batch_size=4, concurrency=(1, 2),
+    ).to_pandas()
+    assert len(out) == 18  # 6 media × 3 frames
+    assert set(out.columns) == {"media_id", "frame_ms", "feature"}

@@ -1,0 +1,92 @@
+import pyarrow as pa
+
+from xhs_ocr_ray.functions.hashing import (
+    hamming64,
+    md5_hex,
+    minhash_permutations,
+    minhash_signature,
+    rolling_fingerprint,
+    shingles,
+    simhash64,
+    stable_hash64,
+)
+from xhs_ocr_ray.stages.text_analysis import (
+    LangId,
+    fingerprint_batch,
+    quality_score_batch,
+    token_count_batch,
+)
+
+
+def _batch(texts):
+    return pa.table({"doc_id": list(range(len(texts))), "text": texts})
+
+
+def test_token_count():
+    out = token_count_batch(_batch(["a b  c", "", "  x "]))
+    assert out.column("n_tokens").to_pylist() == [3, 0, 1]
+
+
+def test_quality_score():
+    out = quality_score_batch(_batch(["Hi, there! Ok."]))
+    row = {c: out.column(c)[0].as_py() for c in out.column_names}
+    assert row["n_chars_txt"] == 14
+    assert row["n_tokens"] == 3
+    assert row["n_punct"] == 3
+    assert abs(row["punct_ratio"] - 3 / 14) < 1e-12
+
+
+def test_fingerprint_md5_matches_duckdb():
+    import duckdb
+
+    text = "hello fingerprint"
+    out = fingerprint_batch(_batch([text]))
+    want = duckdb.connect().execute("SELECT md5(?)", [text]).fetchone()[0]
+    assert out.column("fp_md5")[0].as_py() == want
+
+
+def test_rolling_fingerprint_stability():
+    a = rolling_fingerprint("x" * 50 + "stable middle section" + "y" * 50)
+    b = rolling_fingerprint("z" * 50 + "stable middle section" + "y" * 50)
+    assert a != 0 and b != 0
+    assert rolling_fingerprint("") == 0
+
+
+def test_lang_id():
+    lid = LangId()
+    assert lid.classify("the cat sat on the mat and it is happy") == "en"
+    assert lid.classify("der Hund ist nicht mit der Katze") == "de"
+    assert lid.classify("这是一个中文句子，完全由中文组成。") == "zh"
+    assert lid.classify("これは日本語のテキストです") == "ja"
+    assert lid.classify("") == "unknown"
+    out = lid(_batch(["the the the is is", ""]))
+    assert out.column("lang_pred").to_pylist() == ["en", "unknown"]
+
+
+def test_stable_hashes_deterministic():
+    assert stable_hash64("abc") == stable_hash64("abc")
+    assert stable_hash64("abc") != stable_hash64("abd")
+    assert md5_hex("x") == "9dd4e461268c8034f5c8564e155c67a6"
+
+
+def test_minhash_similarity_estimate():
+    a_coef, b_coef = minhash_permutations(128)
+    s1 = shingles("the quick brown fox jumps over the lazy dog" * 3)
+    s2 = shingles("the quick brown fox jumps over the lazy cat" * 3)
+    s3 = shingles("completely different text with no overlap at all here")
+    sig1 = minhash_signature(s1, a_coef, b_coef)
+    sig2 = minhash_signature(s2, a_coef, b_coef)
+    sig3 = minhash_signature(s3, a_coef, b_coef)
+    near = (sig1 == sig2).mean()
+    far = (sig1 == sig3).mean()
+    assert near > 0.5
+    assert far < 0.2
+    assert (sig1 == minhash_signature(s1, a_coef, b_coef)).all()
+
+
+def test_simhash_hamming():
+    h1 = simhash64("the quick brown fox jumps over the lazy dog".split())
+    h2 = simhash64("the quick brown fox jumps over the lazy cat".split())
+    h3 = simhash64("totally unrelated words appear in this sentence".split())
+    assert hamming64(h1, h1) == 0
+    assert hamming64(h1, h2) < hamming64(h1, h3)

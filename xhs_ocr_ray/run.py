@@ -1,0 +1,65 @@
+"""CLI entry point — the ``ray job submit`` surface (north_rule).
+
+Usage::
+
+    ray job submit -- python -m xhs_ocr_ray.run \
+        --input /data/pages/ --staged /data/staged --out /data/out \
+        [--since 2024-01-05T00:00:00] [--num-buckets 64] \
+        [--buckets-per-job 8] [--concurrency 32] [--batch-size 32]
+
+Re-running after a failure skips every bucket whose manifest matches the
+input fingerprint (per-partition resume). This script owns its Ray session
+when run standalone (guarded init; the driver/job-submit environment may
+already have one).
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(description="xhs_ocr_ray extraction pipeline")
+    p.add_argument("--input", required=True, help="raw pages parquet dir")
+    p.add_argument("--staged", required=True, help="url-hash bucketized staging dir")
+    p.add_argument("--out", required=True, help="output dir (data/lineage/_manifests)")
+    p.add_argument("--since", default=None, help="ISO timestamp window filter")
+    p.add_argument("--num-buckets", type=int, default=64)
+    p.add_argument("--buckets-per-job", type=int, default=None)
+    p.add_argument("--concurrency", type=int, default=None,
+                   help="max extractor actors (default: cluster CPUs)")
+    p.add_argument("--batch-size", type=int, default=32)
+    args = p.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    from xhs_ocr_ray.pipelines.extract_pages import bucketize, run_extract
+
+    max_actors = args.concurrency or int(ray.cluster_resources().get("CPU", 8))
+    since_ts = (
+        datetime.datetime.fromisoformat(args.since) if args.since else None
+    )
+    bucketize(args.input, args.staged, num_buckets=args.num_buckets)
+    res = run_extract(
+        args.staged,
+        args.out,
+        since_ts=since_ts,
+        concurrency=(1, max_actors),
+        batch_size=args.batch_size,
+        buckets_per_job=args.buckets_per_job,
+    )
+    print(json.dumps(res))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -118,8 +118,14 @@ def _title_of(text: str, doc_id: int) -> str:
     return " ".join(text.split()[:6]) or f"doc {doc_id}"
 
 
-def pages_from_documents(batch: pa.Table) -> pa.Table:
-    """map_batches transform: documents(doc_id, text, lang, source) → pages."""
+def pages_from_documents(batch: pa.Table, replicas: int = 1) -> pa.Table:
+    """map_batches transform: documents(doc_id, text, lang, source) → pages.
+
+    ``replicas > 1`` amplifies the corpus deterministically for benchmarks:
+    each document yields ``replicas`` pages with distinct urls (``/r{r}``
+    suffix) and shifted timestamps; the payload-kind routing stays keyed by
+    doc_id so the mix of html/layout/pdf/dup/oversized rows is preserved.
+    """
     doc_ids = batch.column("doc_id").to_pylist()
     texts = batch.column("text").to_pylist()
     langs = batch.column("lang").to_pylist()
@@ -140,21 +146,22 @@ def pages_from_documents(batch: pa.Table) -> pa.Table:
     for doc_id, text, lang, source in zip(doc_ids, texts, langs, sources):
         text = text or ""
         title = _title_of(text, doc_id)
-        url = f"https://{source}.example.com/article/{doc_id}"
         t_us = BASE_TS_US + (doc_id % 30) * DAY_US + (doc_id % 24) * HOUR_US
         if doc_id % 17 == 3:
-            url = f"https://{source}.example.com/layout/{doc_id}"
-            payload = build_layout_payload(text)
+            kind, payload = "layout", build_layout_payload(text)
         elif doc_id % 23 == 5:
-            url = f"https://{source}.example.com/pdf/{doc_id}"
-            payload = b"%PDF-1.7\n" + text.encode("utf-8")[:64]
+            kind, payload = "pdf", b"%PDF-1.7\n" + text.encode("utf-8")[:64]
         elif doc_id % 199 == 11:
-            payload = build_article_html(title, text, repeat=40)
+            kind, payload = "article", build_article_html(title, text, repeat=40)
         else:
-            payload = build_article_html(title, text)
-        emit(url, t_us, payload, text, lang)
-        if doc_id % 50 == 7:
-            emit(url, t_us + HOUR_US, payload, text, lang)
+            kind, payload = "article", build_article_html(title, text)
+        for r in range(replicas):
+            suffix = f"/r{r}" if r else ""
+            url = f"https://{source}.example.com/{kind}/{doc_id}{suffix}"
+            rt = t_us + r * 60_000_000
+            emit(url, rt, payload, text, lang)
+            if doc_id % 50 == 7:
+                emit(url, rt + HOUR_US, payload, text, lang)
 
     return pa.table(
         {
@@ -171,7 +178,8 @@ def pages_from_documents(batch: pa.Table) -> pa.Table:
 GENERATOR_VERSION = 3  # bump to invalidate /tmp page caches
 
 
-def ensure_pages_parquet(sf_dir: str, cache_root: str = "/tmp/xhs_pages_cache") -> str:
+def ensure_pages_parquet(sf_dir: str, cache_root: str = "/tmp/xhs_pages_cache",
+                         replicas: int = 1) -> str:
     """Materialize the pages corpus for ``sf_dir`` once; return its directory.
 
     Atomic: generates into a temp dir and renames. Safe to call from multiple
@@ -179,7 +187,8 @@ def ensure_pages_parquet(sf_dir: str, cache_root: str = "/tmp/xhs_pages_cache") 
     """
     import ray.data  # deferred: keep module importable without a Ray session
 
-    tag = os.path.basename(os.path.normpath(sf_dir)) + f"_v{GENERATOR_VERSION}"
+    tag = (os.path.basename(os.path.normpath(sf_dir))
+           + f"_v{GENERATOR_VERSION}_r{replicas}")
     out_dir = os.path.join(cache_root, tag)
     done_marker = os.path.join(out_dir, "_GENERATED")
     if os.path.exists(done_marker):
@@ -188,8 +197,9 @@ def ensure_pages_parquet(sf_dir: str, cache_root: str = "/tmp/xhs_pages_cache") 
     tmp_dir = tempfile.mkdtemp(prefix=tag + ".", dir=cache_root)
     (
         ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
-        .map_batches(pages_from_documents, batch_format="pyarrow", batch_size=512)
-        .write_parquet(tmp_dir)
+        .map_batches(pages_from_documents, batch_format="pyarrow", batch_size=512,
+                     fn_kwargs={"replicas": replicas})
+        .write_parquet(tmp_dir, min_rows_per_file=4096)
     )
     with open(os.path.join(tmp_dir, "_GENERATED"), "w") as f:
         f.write("ok\n")

@@ -92,15 +92,19 @@ def exact_dedup(ds, key_cols: list[str], order_col: str):
 # --------------------------------------------------------------------------
 
 def _pairs_from_bucket(ids: list, sigs: np.ndarray, threshold: float) -> list[tuple]:
-    """Signature-verified candidate pairs within one LSH bucket."""
-    out = []
+    """Signature-verified candidate pairs within one LSH bucket (vectorized:
+    one (n², num_perm) equality reduction instead of per-pair Python)."""
     n = min(len(ids), MAX_BUCKET)
-    for i in range(n):
-        for j in range(i + 1, n):
-            est = float(np.mean(sigs[i] == sigs[j]))
-            if est >= threshold:
-                a, b = ids[i], ids[j]
-                out.append((min(a, b), max(a, b), est))
+    if n < 2:
+        return []
+    sigs = sigs[:n]
+    ia, ib = np.triu_indices(n, k=1)
+    est = (sigs[ia] == sigs[ib]).mean(axis=1)
+    hits = est >= threshold
+    out = []
+    for i, j, e in zip(ia[hits], ib[hits], est[hits]):
+        a, b = ids[i], ids[j]
+        out.append((min(a, b), max(a, b), float(e)))
     return out
 
 
@@ -129,59 +133,99 @@ def minhash_lsh_dedup(ds, text_col: str, id_col: str, *, num_perm: int = 64,
     Partitioning assumption: candidate pairs fit on the driver (LSH operating
     point); everything before pair collection is distributed.
     """
+    import ray
+
     a_coef, b_coef = minhash_permutations(num_perm)
     rows_per_band = num_perm // bands
 
     def sig_rows(batch: pa.Table) -> pa.Table:
+        """(id, sig) — ONE row per document; signatures never enter the
+        band shuffle (16× lighter than attaching sig to every band row)."""
         ids = batch.column(id_col).to_pylist()
         texts = batch.column(text_col).to_pylist()
+        sigs = [
+            minhash_signature(shingles(t or "", shingle_k), a_coef, b_coef).tolist()
+            for t in texts
+        ]
+        return pa.table(
+            {id_col: batch.column(id_col), "sig": pa.array(sigs, pa.list_(pa.uint64()))}
+        )
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        """(band_key, kb, id) — narrow rows for the candidate shuffle."""
+        ids = batch.column(id_col).to_pylist()
+        sigs = batch.column("sig").to_pylist()
         out_band: list[int] = []
         out_id: list = []
-        out_sig: list[list[int]] = []
-        for i, text in zip(ids, texts):
-            sig = minhash_signature(shingles(text or "", shingle_k), a_coef, b_coef)
-            sig_list = sig.tolist()
+        for i, sig in zip(ids, sigs):
+            arr = np.asarray(sig, dtype=np.uint64)
             for b in range(bands):
-                chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
-                band_key = stable_hash64(bytes([b]) + chunk.tobytes())
-                out_band.append(band_key)
+                chunk = arr[b * rows_per_band : (b + 1) * rows_per_band]
+                out_band.append(stable_hash64(bytes([b]) + chunk.tobytes()))
                 out_id.append(i)
-                out_sig.append(sig_list)
+        bk = np.asarray(out_band, dtype=np.uint64)
         return pa.table(
             {
-                "band_key": pa.array(out_band, pa.uint64()),
+                "band_key": pa.array(bk),
+                "__kb": pa.array((bk % NUM_KEY_BUCKETS).astype("int32")),
                 id_col: pa.array(out_id),
-                "sig": pa.array(out_sig, pa.list_(pa.uint64())),
             }
         )
 
-    def coarse_pairs(chunk: pd.DataFrame) -> pd.DataFrame:
-        """One 256-way shuffle bucket: iterate only bands with ≥2 members."""
-        out: list[tuple] = []
+    def coarse_candidates(chunk: pd.DataFrame) -> pd.DataFrame:
+        """Unique candidate pairs per 256-way bucket (no verification here —
+        pairs are verified once, not once per colliding band)."""
+        seen: set[tuple] = set()
         sizes = chunk.groupby("band_key")["band_key"].transform("size")
-        multi = chunk[sizes >= 2]
-        for _, group in multi.groupby("band_key"):
-            ids = group[id_col].tolist()
-            sigs = np.stack(group["sig"].to_numpy())
-            out.extend(_pairs_from_bucket(ids, sigs, threshold))
-        if not out:
-            return pd.DataFrame({"a": [], "b": [], "est": []})
-        arr = list(zip(*out))
-        return pd.DataFrame({"a": arr[0], "b": arr[1], "est": arr[2]})
+        for _, group in chunk[sizes >= 2].groupby("band_key"):
+            ids = sorted(group[id_col].tolist()[:MAX_BUCKET])
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    seen.add((ids[i], ids[j]))
+        if not seen:
+            return pd.DataFrame({"a": [], "b": []})
+        arr = list(zip(*sorted(seen)))
+        return pd.DataFrame({"a": arr[0], "b": arr[1]})
 
-    pair_ds = (
-        ds.map_batches(sig_rows, batch_format="pyarrow", batch_size=256)
-        .map_batches(
-            lambda b: b.append_column(
-                "__kb", pa.array((b.column("band_key").to_numpy(zero_copy_only=False)
-                                  % NUM_KEY_BUCKETS).astype("int32"))
-            ),
-            batch_format="pyarrow",
-        )
+    # sig_ds is consumed twice (band explode + verification fetch);
+    # materialize to avoid recomputing signatures. Sigs are num_perm×8B per
+    # doc — at 10^12 docs you would write them to parquet instead of pinning.
+    sig_ds = ds.map_batches(sig_rows, batch_format="pyarrow", batch_size=256).materialize()
+    cand_df = (
+        sig_ds.map_batches(band_rows, batch_format="pyarrow")
         .groupby("__kb")
-        .map_groups(coarse_pairs, batch_format="pandas")
+        .map_groups(coarse_candidates, batch_format="pandas")
+        .to_pandas()
+        .drop_duplicates()  # same pair can surface from several __kb buckets
     )
-    pairs = [(r["a"], r["b"], r["est"]) for r in pair_ds.take_all()]  # small
+
+    # One vectorized verification pass: fetch only the involved signatures
+    # (assumed driver-small — the LSH operating point; at larger candidate
+    # volumes this becomes a hash join on id instead).
+    pairs: list[tuple] = []
+    if len(cand_df):
+        involved = set(cand_df["a"]).union(cand_df["b"])
+        inv_ref = ray.put(involved)
+
+        def keep_involved(batch: pa.Table) -> pa.Table:
+            want = ray.get(inv_ref)
+            mask = [i in want for i in batch.column(id_col).to_pylist()]
+            return batch.filter(pa.array(mask))
+
+        kept = sig_ds.map_batches(keep_involved, batch_format="pyarrow").take_all()
+        uniq = [r[id_col] for r in kept]
+        index = {v: i for i, v in enumerate(uniq)}
+        sig_mat = np.array([r["sig"] for r in kept], dtype=np.uint64)
+        ia = cand_df["a"].map(index).to_numpy(dtype=np.int64)
+        ib = cand_df["b"].map(index).to_numpy(dtype=np.int64)
+        a_vals = cand_df["a"].to_numpy()
+        b_vals = cand_df["b"].to_numpy()
+        chunk_sz = 200_000  # bound the (chunk × num_perm) compare matrices
+        for s in range(0, len(ia), chunk_sz):
+            est = (sig_mat[ia[s : s + chunk_sz]] == sig_mat[ib[s : s + chunk_sz]]).mean(axis=1)
+            for k in np.nonzero(est >= threshold)[0]:
+                i = s + int(k)
+                pairs.append((a_vals[i], b_vals[i], float(est[k])))
     labels = _union_find(pairs)
 
     def assign(batch: pa.Table) -> pa.Table:

@@ -76,13 +76,16 @@ class LangId:
     def classify(self, text: str) -> str:
         if not text:
             return "unknown"
-        cjk = sum(1 for ch in text[:400] if 0x3000 <= ord(ch) <= 0x9FFF)
-        if cjk > len(text[:400]) * 0.2:
-            return "zh"
-        if any(0x3040 <= ord(ch) <= 0x30FF for ch in text[:400]):
+        head = text[:400]
+        # Kana / hangul are unambiguous and must win over the ideograph
+        # ratio (Japanese text is full of kanji that would read as zh).
+        if any(0x3040 <= ord(ch) <= 0x30FF for ch in head):
             return "ja"
-        if any(0xAC00 <= ord(ch) <= 0xD7AF for ch in text[:400]):
+        if any(0xAC00 <= ord(ch) <= 0xD7AF for ch in head):
             return "ko"
+        cjk = sum(1 for ch in head if 0x3000 <= ord(ch) <= 0x9FFF)
+        if cjk > len(head) * 0.2:
+            return "zh"
         toks = text.lower().split()[:200]
         if not toks:
             return "unknown"

@@ -222,6 +222,123 @@ def _q_ann_topk(sf_dir: str):
     return pa.table({"vec_id": top.column("vec_id")})
 
 
+def _q_sidecar_join(sf_dir: str):
+    """Broadcast join: per-order customer name (J3 sidecar-lookup analog)."""
+    from xhs_ocr_ray.stages.merge import broadcast_join
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    return broadcast_join(
+        orders, cust, on="o_custkey", right_on="c_custkey",
+        select={"c_name": "cust_name"}, how="inner",
+    )
+
+
+def _q_semi_join(sf_dir: str):
+    """Customers having ≥1 order (broadcast semi join)."""
+    import pyarrow.compute as pc  # noqa: F401  (parity with sibling queries)
+
+    from xhs_ocr_ray.stages.merge import broadcast_join
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name", "c_mktsegment"])
+    order_keys = (
+        _read(sf_dir, "orders", columns=["o_custkey"])
+        .map_batches(
+            lambda b: b.rename_columns(["c_custkey"]), batch_format="pyarrow"
+        )
+    )
+    return broadcast_join(cust, order_keys, on="c_custkey", select={}, how="semi")
+
+
+def _q_anti_join(sf_dir: str):
+    """Customers with no URGENT orders (broadcast anti join, non-empty)."""
+    import pyarrow.compute as pc
+
+    from xhs_ocr_ray.stages.merge import broadcast_join
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name", "c_mktsegment"])
+    urgent_keys = (
+        _read(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"])
+        .map_batches(
+            lambda b: b.filter(
+                pc.equal(b.column("o_orderpriority"), _URGENT)
+            ).select(["o_custkey"]).rename_columns(["c_custkey"]),
+            batch_format="pyarrow",
+        )
+    )
+    return broadcast_join(cust, urgent_keys, on="c_custkey", select={}, how="anti")
+
+
+def _q_top_customers(sf_dir: str):
+    """Top-10 customers by order count (groupby → sort → limit)."""
+    from ray.data.aggregate import Count
+
+    return (
+        _read(sf_dir, "orders", columns=["o_custkey"])
+        .groupby("o_custkey")
+        .aggregate(Count(alias_name="n_orders"))
+        .sort(["n_orders", "o_custkey"], descending=[True, False])
+        .limit(10)
+    )
+
+
+def _q_count_distinct(sf_dir: str):
+    """Distinct event types per user (pre-dedup per batch, then exact)."""
+    import pandas as pd
+
+    from xhs_ocr_ray.stages.dedup import _add_key_bucket
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def batch_dedup(b):
+        import pyarrow as pa
+
+        df = pd.DataFrame(
+            {"user_id": b.column("user_id").to_pylist(),
+             "event_type": b.column("event_type").to_pylist()}
+        ).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def bucket_nunique(chunk: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            chunk.drop(columns="__kb")
+            .drop_duplicates()
+            .groupby("user_id", sort=False)["event_type"]
+            .nunique()
+            .reset_index(name="n_types")
+        )
+        return out
+
+    return (
+        ds.map_batches(batch_dedup, batch_format="pyarrow")
+        .map_batches(_add_key_bucket, batch_format="pyarrow",
+                     fn_kwargs={"key_cols": ["user_id"]})
+        .groupby("__kb")
+        .map_groups(bucket_nunique, batch_format="pandas")
+    )
+
+
+def _q_window_tumbling(sf_dir: str):
+    """Events per (event_type, day) — tumbling event-time window."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    return (
+        _read(sf_dir, "events", columns=["event_type", "ts"])
+        .map_batches(
+            lambda b: b.append_column(
+                "day",
+                pc.cast(pc.floor_temporal(b.column("ts"), unit="day"),
+                        pa.timestamp("us")),
+            ).drop_columns(["ts"]),
+            batch_format="pyarrow",
+        )
+        .groupby(["event_type", "day"])
+        .aggregate(Count(alias_name="n_events"))
+    )
+
+
 # -- rows-only (non-SQL-expressible) ----------------------------------------
 
 def _q_extract_pages(sf_dir: str):
@@ -312,6 +429,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": _q_quality_score,
         "fingerprint": _q_fingerprint,
         "ann_topk": _q_ann_topk,
+        "sidecar_join": _q_sidecar_join,
+        "semi_join": _q_semi_join,
+        "anti_join": _q_anti_join,
+        "top_customers": _q_top_customers,
+        "count_distinct": _q_count_distinct,
+        "window_tumbling": _q_window_tumbling,
         "extract_pages": _q_extract_pages,
         "lineage_pages": _q_lineage_pages,
         "minhash_dedup": _q_minhash_dedup,
@@ -388,6 +511,31 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "fingerprint": "SELECT doc_id, md5(text) AS fp_md5 FROM documents",
+        "sidecar_join": (
+            "SELECT o.o_orderkey, o.o_custkey, c.c_name AS cust_name "
+            "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey"
+        ),
+        "semi_join": (
+            "SELECT c_custkey, c_name, c_mktsegment FROM customer c "
+            "WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"
+        ),
+        "anti_join": (
+            "SELECT c_custkey, c_name, c_mktsegment FROM customer c "
+            "WHERE NOT EXISTS (SELECT 1 FROM orders o "
+            f"WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '{_URGENT}')"
+        ),
+        "top_customers": (
+            "SELECT o_custkey, count(*) AS n_orders FROM orders "
+            "GROUP BY o_custkey ORDER BY n_orders DESC, o_custkey LIMIT 10"
+        ),
+        "count_distinct": (
+            "SELECT user_id, CAST(count(DISTINCT event_type) AS BIGINT) AS n_types "
+            "FROM events GROUP BY user_id"
+        ),
+        "window_tumbling": (
+            "SELECT event_type, date_trunc('day', ts) AS day, "
+            "count(*) AS n_events FROM events GROUP BY event_type, day"
+        ),
         "ann_topk": """
             SELECT e.vec_id
             FROM embeddings e,

@@ -23,7 +23,8 @@ from __future__ import annotations
 
 import re
 
-from xhs_ocr_ray.html.parser import Element, parse_html
+from xhs_ocr_ray.html.fast_parser import parse_html_safe as parse_html
+from xhs_ocr_ray.html.parser import Element
 from xhs_ocr_ray.layout.separators import is_cjk_char
 
 PRUNE_TAGS = frozenset(
@@ -42,7 +43,7 @@ INLINE_TAGS = frozenset(
 
 _BOILER_CLASS = re.compile(
     r"nav|menu|footer|head(er|line)?-bar|sidebar|side-bar|\bads?\b|advert|banner"
-    r"|breadcrumb|promo|share|social|related|recommend|copyright|cookie",
+    r"|breadcrumb|promo|share|social|related|recommend|copyright|cookie|comment",
     re.IGNORECASE,
 )
 _WS = re.compile(r"\s+")

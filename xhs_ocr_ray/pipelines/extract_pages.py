@@ -126,6 +126,11 @@ def run_extract(staged_dir: str, out_dir: str, *,
             batch_size=batch_size,
             concurrency=concurrency,
         )
+        # Materialize between the actor-pool map and the dedup sort: in one
+        # streaming graph the sort's resource reservation backpressures the
+        # actor pool (~1.5x wall). The pin holds only the extracted columns
+        # (html already projected away) and spills to disk if needed.
+        extracted = extracted.materialize()
         deduped = exact_dedup(extracted, ["url"], "warc_ts")
         gid = f"{group[0]}-{group[-1]}"
         data_dir = os.path.join(out_dir, "data", f"group={gid}")

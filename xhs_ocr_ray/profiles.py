@@ -20,7 +20,8 @@ from dataclasses import dataclass, field
 
 from xhs_ocr_ray.functions.normalize import normalize_lines
 from xhs_ocr_ray.html.extract import _render_container, select_main
-from xhs_ocr_ray.html.parser import Element, parse_html
+from xhs_ocr_ray.html.fast_parser import parse_html_safe as parse_html
+from xhs_ocr_ray.html.parser import Element
 
 
 @dataclass(frozen=True)

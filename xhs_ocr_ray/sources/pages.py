@@ -47,21 +47,67 @@ PAGES_SCHEMA = pa.schema(
     ]
 )
 
+# Realistically heavy page chrome: Common-Crawl pages average 10-30KB of
+# nav/menu/footer/ad markup around the article. The extractor must prune all
+# of it; the weight also keeps the benchmark honest (parse compute dominates,
+# as it does on real crawl data).
+_MENU_ITEMS = "".join(
+    f'<li class="menu-item"><a href="/section/{i}">Section {i} news and '
+    f'extended coverage</a><ul>' + "".join(
+        f'<li><a href="/section/{i}/{j}">Subsection {i}.{j} daily digest</a></li>'
+        for j in range(4)
+    ) + "</ul></li>"
+    for i in range(8)
+)
 _NAV = (
     '<header class="site-header"><div class="logo">ExampleNews</div>'
-    '<nav><a href="/">Home</a> <a href="/world">World</a> '
-    '<a href="/tech">Tech</a> <a href="/sports">Sports</a></nav></header>'
+    f'<nav><ul class="menu">{_MENU_ITEMS}</ul></nav>'
+    '<div class="header-tools"><a href="/login">Log in</a> '
+    '<a href="/subscribe">Subscribe</a> <a href="/newsletter">Newsletter</a></div>'
+    "</header>"
 )
 _SIDEBAR = (
     '<aside class="sidebar"><h3>Trending</h3><ul>'
-    '<li><a href="/a/1">Top story one</a></li>'
-    '<li><a href="/a/2">Top story two</a></li></ul></aside>'
+    + "".join(
+        f'<li><a href="/a/{i}">Trending headline number {i} with a fairly '
+        f"long teaser line to mimic real markup</a></li>"
+        for i in range(12)
+    )
+    + '</ul><div class="promo">Limited offer! <a href="/deal">Deal</a></div>'
+    '<ul class="related">'
+    + "".join(f'<li><a href="/rel/{i}">Related story {i}</a></li>' for i in range(8))
+    + "</ul></aside>"
 )
 _FOOTER = (
-    '<footer><p class="copyright">© 2024 Example Corp. '
-    '<a href="/terms">Terms</a> <a href="/privacy">Privacy</a></p></footer>'
+    '<footer><div class="footer-links">'
+    + "".join(
+        f'<ul><li><a href="/f/{i}/{j}">Footer link {i}.{j}</a></li></ul>'
+        for i in range(6)
+        for j in range(5)
+    )
+    + '</div><p class="copyright">© 2024 Example Corp. '
+    '<a href="/terms">Terms</a> <a href="/privacy">Privacy</a> '
+    '<a href="/cookies">Cookies</a></p></footer>'
 )
-_ADS = '<div class="ad-banner">Buy more compute! <a href="/buy">click</a></div>'
+_ADS = (
+    '<div class="ad-banner">Buy more compute! <a href="/buy">click</a></div>'
+    '<div class="ad-banner side-ad"><span>Sponsored:</span> '
+    '<a href="/sponsor">Great product</a> you absolutely need today</div>'
+    '<script>window.trackingBlob = {"id": 12345, "flags": [1,2,3]};'
+    "function init() { console.log('tracker'); }</script>"
+    "<style>.menu li { display: inline-block; padding: 4px; }"
+    ".sidebar { float: right; width: 300px; }</style>"
+)
+_COMMENTS = (
+    '<section class="comment-section"><h4>Comments</h4>'
+    + "".join(
+        f'<div class="comment"><span class="author">user{i}</span>'
+        f"<p>Commentary text number {i} that should never appear in the "
+        f"extracted main content at all.</p></div>"
+        for i in range(6)
+    )
+    + "</section>"
+)
 
 WORDS_PER_PARA = 24
 
@@ -80,10 +126,12 @@ def build_article_html(title: str, text: str, repeat: int = 1) -> bytes:
     paras = _paragraphs(text) * repeat
     body = "".join(f"<p>{html_mod.escape(p)}</p>" for p in paras)
     page = (
-        "<html><head><title>" + html_mod.escape(title) + "</title></head><body>"
+        "<html><head><title>" + html_mod.escape(title) + "</title>"
+        '<meta charset="utf-8"><link rel="stylesheet" href="/site.css">'
+        "</head><body>"
         + _NAV + _ADS + '<div class="content-wrap"><article><h1>'
         + html_mod.escape(title) + "</h1>" + body + "</article>"
-        + _SIDEBAR + "</div>" + _FOOTER + "</body></html>"
+        + _COMMENTS + _SIDEBAR + "</div>" + _FOOTER + "</body></html>"
     )
     return page.encode("utf-8")
 
@@ -175,7 +223,7 @@ def pages_from_documents(batch: pa.Table, replicas: int = 1) -> pa.Table:
     )
 
 
-GENERATOR_VERSION = 3  # bump to invalidate /tmp page caches
+GENERATOR_VERSION = 4  # bump to invalidate /tmp page caches
 
 
 def ensure_pages_parquet(sf_dir: str, cache_root: str = "/tmp/xhs_pages_cache",

@@ -144,3 +144,41 @@ def related_key_count(tables: list, key_cols: list[str]):
         .map_groups(bucket_counts, batch_format="pandas")
     )
     return int(sum(r["n_multi"] for r in per_bucket.take_all()))
+
+
+def broadcast_join(big_ds, small_ds, on: str, select: dict[str, str],
+                   how: str = "inner", right_on: str | None = None):
+    """Broadcast hash join: the small side is ``ray.put`` once and looked up
+    inside every ``map_batches`` task — no shuffle (SURVEY.md §2.5 J3, the
+    sidecar-lookup analog; also the semi/anti-join building block).
+
+    ``select`` maps small-side column → output name. ``how``: "inner" keeps
+    matching rows, "semi" keeps matching big rows unchanged, "anti" keeps
+    non-matching big rows unchanged. ``right_on`` names the small side's key
+    column when it differs from ``on``.
+    """
+    import ray
+
+    small_df = small_ds.to_pandas().set_index(right_on or on)
+    small_ref = ray.put(small_df)
+
+    def join_batch(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        sm = ray.get(small_ref)
+        keys = batch.column(on).to_pylist()
+        member = np.fromiter((k in sm.index for k in keys), dtype=bool,
+                             count=len(keys))
+        if how == "semi":
+            return batch.filter(pa.array(member))
+        if how == "anti":
+            return batch.filter(pa.array(~member))
+        batch = batch.filter(pa.array(member))
+        keys = batch.column(on).to_pylist()
+        out = batch
+        for src, dst in select.items():
+            vals = sm.loc[keys, src].tolist() if keys else []
+            out = out.append_column(dst, pa.array(vals))
+        return out
+
+    return big_ds.map_batches(join_batch, batch_format="pyarrow")

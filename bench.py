@@ -128,6 +128,10 @@ def scaling() -> None:
 
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_SKIP_QUERIES="1")
+        # Larger corpus for scaling runs: per-process constants (ray.init,
+        # actor spawn, job setup ≈10s) must be small vs the timed work or
+        # they dominate the ratio.
+        env.setdefault("BENCH_REPLICAS", "128")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, check=True,
@@ -149,7 +153,7 @@ def scaling() -> None:
                 f"sec_{lo_n}": lo["value"],
                 f"sec_{hi_n}": hi["value"],
                 "sf": SF_DIR,
-                "replicas": REPLICAS,
+                "replicas": lo["replicas"],
             }
         )
     )

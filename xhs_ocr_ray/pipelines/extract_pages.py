@@ -37,6 +37,20 @@ from xhs_ocr_ray.state import checkpoint as ckpt
 OVERSIZED_HTML = 1 << 20  # 1 MiB: route giant rows to a dedicated tag
 
 
+def _read_override(paths: list[str]) -> int | None:
+    """Read parallelism: Ray plans read tasks from COMPRESSED file sizes, so
+    a few big well-compressed files collapse into ~2 serial read tasks that
+    cap the pipeline — force one block per file then. Never exceed the file
+    count (finer blocks re-read whole row groups = amplification), and leave
+    many-small-file layouts to the planner (it fuses them sensibly)."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    if 0 < len(paths) < cpus:
+        return len(paths)
+    return None
+
+
 def add_bucket(batch: pa.Table, num_buckets: int) -> pa.Table:
     """Stable url-hash bucket (zlib.crc32 — process-independent)."""
     urls = batch.column("url").to_pylist()
@@ -61,10 +75,15 @@ def bucketize(input_paths: list[str] | str, staged_dir: str, *,
     data_dir = os.path.join(staged_dir, "data")
     with ckpt.atomic_output_dir(data_dir) as tmp:
         (
-            ray.data.read_parquet(input_paths)
+            ray.data.read_parquet(
+                input_paths, override_num_blocks=_read_override(input_paths)
+            )
             .map_batches(add_bucket, batch_format="pyarrow",
                          fn_kwargs={"num_buckets": num_buckets})
-            .write_parquet(tmp, partition_cols=["bucket"])
+            # min_rows_per_file keeps each bucket dir at a few real files
+            # instead of one sliver per (input block × bucket).
+            .write_parquet(tmp, partition_cols=["bucket"],
+                           min_rows_per_file=8192)
         )
     ckpt.commit_manifest(staged_dir, "_bucketize",
                          {"fingerprint": fp, "status": "ok",
@@ -108,7 +127,8 @@ def run_extract(staged_dir: str, out_dir: str, *,
     for group in groups:
         files = [f for sid in group for f in buckets[sid]]
         ds = ray.data.read_parquet(
-            files, columns=["url", "warc_ts", "html", "lang"]
+            files, columns=["url", "warc_ts", "html", "lang"],
+            override_num_blocks=_read_override(files),
         )
         if since_ts is not None:
             # Window filter (the OCR_RECENT_DAYS analog): vectorized inside
@@ -136,8 +156,11 @@ def run_extract(staged_dir: str, out_dir: str, *,
         data_dir = os.path.join(out_dir, "data", f"group={gid}")
         with ckpt.atomic_output_dir(data_dir) as tmp:
             deduped.write_parquet(tmp)
+        # Lineage over the materialized extract output (pre-dedup): counts
+        # every processed document incl. dropped duplicates, and avoids a
+        # disk read-back of the written partition.
         lineage_dir = os.path.join(out_dir, "lineage", f"group={gid}")
-        lineage_ds = prefix_summary(ray.data.read_parquet(data_dir))
+        lineage_ds = prefix_summary(extracted)
         with ckpt.atomic_output_dir(lineage_dir) as tmp:
             lineage_ds.write_parquet(tmp)
         n = sum(

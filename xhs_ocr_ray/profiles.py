@@ -18,7 +18,7 @@ import json
 import re
 from dataclasses import dataclass, field
 
-from xhs_ocr_ray.functions.normalize import normalize_lines
+from xhs_ocr_ray.functions.normalize import normalize_lines, pair_lines
 from xhs_ocr_ray.html.extract import _render_container, select_main
 from xhs_ocr_ray.html.fast_parser import parse_html_safe as parse_html
 from xhs_ocr_ray.html.parser import Element
@@ -33,6 +33,7 @@ class Profile:
     field_regexes: tuple[str, ...] = ()       # i-th regex → i-th field
     normalize: bool = False                   # apply M6 normalizer to lines
     strip_cjk: bool = False                   # M6 CJK-strip toggle
+    pair_fields: int = 0                      # M7: zip 2k lines → "k:v|k:v"
     layout_parser: str = "multi_para"         # parser for layout payloads
 
     def __post_init__(self) -> None:
@@ -122,6 +123,10 @@ def extract_with_profiles(html: bytes | str, profiles: list[Profile],
         _render_container(source, lines)
         if prof.normalize:
             lines = normalize_lines(lines, strip_cjk=prof.strip_cjk)
+        if prof.pair_fields:
+            # M7 pairing transform: exactly pair_fields label/value lines →
+            # one "k:v|k:v" line; mismatch → try the next profile.
+            lines = pair_lines(lines, expected=prof.pair_fields)
         if not lines:
             continue
         text = "\n".join(lines) + "\n"

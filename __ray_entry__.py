@@ -336,6 +336,36 @@ def _q_window_tumbling(sf_dir: str):
         )
         .groupby(["event_type", "day"])
         .aggregate(Count(alias_name="n_events"))
+        # Ray's sort-based groupby re-emits the timestamp key at seconds
+        # resolution; normalize back to us so hashes match the oracle.
+        .map_batches(
+            lambda b: b.set_column(
+                b.column_names.index("day"), "day",
+                pc.cast(b.column("day"), pa.timestamp("us")),
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def _q_sessionize(sf_dir: str):
+    """Gap-based session windows per user (6h gap)."""
+    from xhs_ocr_ray.stages.windows import sessionize
+
+    return sessionize(
+        _read(sf_dir, "events", columns=["user_id", "ts", "event_id"]),
+        "user_id", "ts", gap_us=6 * 3600 * 1_000_000, order_cols=("event_id",),
+    )
+
+
+def _q_hopping_window(sf_dir: str):
+    """Hopping windows (1 day window, 12h slide) per event_type."""
+    from xhs_ocr_ray.stages.windows import hopping_counts
+
+    return hopping_counts(
+        _read(sf_dir, "events", columns=["event_type", "ts"]),
+        "event_type", "ts",
+        window_us=24 * 3600 * 1_000_000, slide_us=12 * 3600 * 1_000_000,
     )
 
 
@@ -435,6 +465,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_customers": _q_top_customers,
         "count_distinct": _q_count_distinct,
         "window_tumbling": _q_window_tumbling,
+        "sessionize": _q_sessionize,
+        "hopping_window": _q_hopping_window,
         "extract_pages": _q_extract_pages,
         "lineage_pages": _q_lineage_pages,
         "minhash_dedup": _q_minhash_dedup,
@@ -536,6 +568,43 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, date_trunc('day', ts) AS day, "
             "count(*) AS n_events FROM events GROUP BY event_type, day"
         ),
+        "sessionize": """
+            WITH lagged AS (
+                SELECT user_id, ts, event_id,
+                       lag(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_ts
+                FROM events
+            ), flagged AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN prev_ts IS NULL
+                                 OR ts - prev_ts > INTERVAL 6 HOUR
+                            THEN 1 ELSE 0 END AS brk
+                FROM lagged
+            ), sess AS (
+                SELECT user_id, ts,
+                       sum(brk) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+                FROM flagged
+            )
+            SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+                   count(*) AS n_events,
+                   min(ts) AS session_start, max(ts) AS session_end
+            FROM sess GROUP BY user_id, sid
+        """,
+        "hopping_window": """
+            WITH base AS (
+                SELECT event_type,
+                       CAST(epoch_us(ts) // 43200000000 AS BIGINT) AS hi
+                FROM events
+            ), exploded AS (
+                SELECT event_type, hi - off AS window_id
+                FROM base, (SELECT unnest([0, 1]) AS off)
+                WHERE hi - off >= 0
+            )
+            SELECT event_type, window_id, count(*) AS n_events
+            FROM exploded GROUP BY event_type, window_id
+        """,
         "ann_topk": """
             SELECT e.vec_id
             FROM embeddings e,

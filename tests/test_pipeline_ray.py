@@ -116,3 +116,40 @@ def test_quarantine_rows_kept(ray_session):
     assert statuses["pdf-stub"] == "unsupported_payload"
     assert statuses["empty"] == "failed_all_profiles"
     assert (statuses.drop(["pdf-stub", "empty"]) == "ok").all()
+
+
+def test_oversized_rows_routed_and_extracted(tmp_path, ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from xhs_ocr_ray.pipelines.extract_pages import OVERSIZED_HTML
+    from xhs_ocr_ray.sources.pages import PAGES_SCHEMA
+
+    big_body = b"<article><p>" + b"big content word " * (OVERSIZED_HTML // 16) + b"</p></article>"
+    assert len(big_body) >= OVERSIZED_HTML
+    rows = pa.table(
+        {
+            "url": ["https://h.example.com/article/big", "https://h.example.com/article/small"],
+            "warc_ts": pa.array([0, 0], pa.timestamp("us")),
+            "html": pa.array([big_body, b"<article><p>tiny page text</p></article>"], pa.binary()),
+            "text": ["", ""],
+            "lang": ["en", "en"],
+        },
+        schema=PAGES_SCHEMA,
+    )
+    src, staged, out = str(tmp_path / "s"), str(tmp_path / "st"), str(tmp_path / "o")
+    os.makedirs(src)
+    ray.data.from_arrow(rows).write_parquet(src)
+    bucketize(src, staged, num_buckets=4)
+    # Oversized row landed in the dedicated bucket range (id >= 4).
+    bucket_ids = sorted(
+        int(os.path.basename(d).split("=")[1])
+        for d in __import__("glob").glob(os.path.join(staged, "data", "bucket=*"))
+    )
+    assert any(b >= 4 for b in bucket_ids)
+    res = run_extract(staged, out, concurrency=1, batch_size=8)
+    assert res["rows_written"] == 2
+    import duckdb
+
+    df = duckdb.sql(f"SELECT url, status FROM '{out}/data/*/*.parquet' ORDER BY url").df()
+    assert list(df["status"]) == ["ok", "ok"]

@@ -37,6 +37,10 @@ from xhs_ocr_ray.state import checkpoint as ckpt
 OVERSIZED_HTML = 1 << 20  # 1 MiB: route giant rows to a dedicated tag
 
 
+def _max_actors(concurrency: int | tuple) -> int:
+    return concurrency[1] if isinstance(concurrency, tuple) else int(concurrency)
+
+
 def _read_override(paths: list[str]) -> int | None:
     """Read parallelism: Ray plans read tasks from COMPRESSED file sizes, so
     a few big well-compressed files collapse into ~2 serial read tasks that
@@ -52,9 +56,25 @@ def _read_override(paths: list[str]) -> int | None:
 
 
 def add_bucket(batch: pa.Table, num_buckets: int) -> pa.Table:
-    """Stable url-hash bucket (zlib.crc32 — process-independent)."""
+    """Stable url-hash bucket (zlib.crc32 — process-independent).
+
+    Skew guard: oversized html rows (≥ OVERSIZED_HTML bytes) are routed to a
+    DEDICATED bucket range ``[num_buckets, num_buckets + num_buckets//8)``
+    so the extract job can give them their own small-batch path without
+    re-reading the normal files.
+    """
+    import pyarrow.compute as pc
+
     urls = batch.column("url").to_pylist()
-    buckets = [zlib.crc32(u.encode("utf-8")) % num_buckets for u in urls]
+    sizes = pc.binary_length(batch.column("html")).to_pylist()
+    n_big = max(1, num_buckets // 8)
+    buckets = []
+    for u, sz in zip(urls, sizes):
+        h = zlib.crc32(u.encode("utf-8"))
+        if sz is not None and sz >= OVERSIZED_HTML:
+            buckets.append(num_buckets + h % n_big)
+        else:
+            buckets.append(h % num_buckets)
     return batch.append_column("bucket", pa.array(buckets, pa.int32()))
 
 
@@ -89,6 +109,13 @@ def bucketize(input_paths: list[str] | str, staged_dir: str, *,
                          {"fingerprint": fp, "status": "ok",
                           "num_buckets": num_buckets})
     return staged_dir
+
+
+def _num_buckets_of(staged_dir: str) -> int:
+    """Normal-bucket count recorded by bucketize (ids ≥ this are the
+    dedicated oversized-row buckets)."""
+    m = ckpt.read_manifest(staged_dir, "_bucketize") or {}
+    return int(m.get("num_buckets", 16))
 
 
 def _bucket_dirs(staged_dir: str) -> dict[str, list[str]]:
@@ -126,26 +153,52 @@ def run_extract(staged_dir: str, out_dir: str, *,
     total_rows = 0
     for group in groups:
         files = [f for sid in group for f in buckets[sid]]
-        ds = ray.data.read_parquet(
-            files, columns=["url", "warc_ts", "html", "lang"],
-            override_num_blocks=_read_override(files),
-        )
+        # Oversized rows live in their own bucket range (see add_bucket):
+        # disjoint file sets → two extraction paths with zero double-read.
+        num_buckets = _num_buckets_of(staged_dir)
+        normal_files = [
+            f for sid in group for f in buckets[sid] if int(sid) < num_buckets
+        ]
+        big_files = [
+            f for sid in group for f in buckets[sid] if int(sid) >= num_buckets
+        ]
+        small_ds = ray.data.read_parquet(
+            normal_files, columns=["url", "warc_ts", "html", "lang"],
+            override_num_blocks=_read_override(normal_files),
+        ) if normal_files else None
+        big_ds = ray.data.read_parquet(
+            big_files, columns=["url", "warc_ts", "html", "lang"],
+        ) if big_files else None
         if since_ts is not None:
             # Window filter (the OCR_RECENT_DAYS analog): vectorized inside
             # map_batches — cheaper than row-wise Dataset.filter.
-            ds = ds.map_batches(
-                lambda b, cut=since_ts: b.filter(
-                    pc.greater_equal(b.column("warc_ts"), cut)
-                ),
-                batch_format="pyarrow",
+            def window(b, cut=since_ts):
+                return b.filter(pc.greater_equal(b.column("warc_ts"), cut))
+
+            small_ds = small_ds.map_batches(window, batch_format="pyarrow") if small_ds else None
+            big_ds = big_ds.map_batches(window, batch_format="pyarrow") if big_ds else None
+        parts = []
+        if small_ds is not None:
+            parts.append(
+                small_ds.map_batches(
+                    ExtractorEngine,
+                    fn_constructor_kwargs={"library": library},
+                    batch_format="pyarrow",
+                    batch_size=batch_size,
+                    concurrency=concurrency,
+                )
             )
-        extracted = ds.map_batches(
-            ExtractorEngine,
-            fn_constructor_kwargs={"library": library},
-            batch_format="pyarrow",
-            batch_size=batch_size,
-            concurrency=concurrency,
-        )
+        if big_ds is not None:
+            parts.append(
+                big_ds.map_batches(
+                    ExtractorEngine,
+                    fn_constructor_kwargs={"library": library},
+                    batch_format="pyarrow",
+                    batch_size=4,  # few MB per batch even at MB-sized rows
+                    concurrency=(1, max(2, _max_actors(concurrency) // 4)),
+                )
+            )
+        extracted = parts[0] if len(parts) == 1 else parts[0].union(parts[1])
         # Materialize between the actor-pool map and the dedup sort: in one
         # streaming graph the sort's resource reservation backpressures the
         # actor pool (~1.5x wall). The pin holds only the extracted columns

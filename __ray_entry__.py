@@ -369,6 +369,55 @@ def _q_hopping_window(sf_dir: str):
     )
 
 
+def _q_hash_split(sf_dir: str):
+    """Deterministic train/eval split: md5(text) prefix < '3' ≈ 19% sample.
+
+    The training-data split idiom: content-hash based, reproducible across
+    engines (md5 matches DuckDB's md5())."""
+    import pyarrow as pa
+
+    from xhs_ocr_ray.functions.hashing import md5_hex
+
+    def keep(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        mask = [md5_hex(t or "")[0] < "3" for t in texts]
+        return batch.filter(pa.array(mask))
+
+    return (
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(keep, batch_format="pyarrow")
+        .select_columns(["doc_id"])
+    )
+
+
+def _q_token_topk(sf_dir: str):
+    """Global top-20 tokens by frequency — partial per-batch counts, then a
+    tiny groupby-sum shuffle, then sort+limit (the pre-aggregation idiom)."""
+    import pandas as pd
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            # split(" ") + drop empties == DuckDB string_split(text, ' ')
+            # with token <> '' (bare .split() would also split on \t/\n).
+            c.update(w for w in (t or "").split(" ") if w)
+        df = pd.DataFrame({"token": list(c.keys()), "n": list(c.values())})
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return (
+        _read(sf_dir, "documents", columns=["text"])
+        .map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n_total"))
+        .sort(["n_total", "token"], descending=[True, False])
+        .limit(20)
+    )
+
+
 # -- rows-only (non-SQL-expressible) ----------------------------------------
 
 def _q_extract_pages(sf_dir: str):
@@ -467,6 +516,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_tumbling": _q_window_tumbling,
         "sessionize": _q_sessionize,
         "hopping_window": _q_hopping_window,
+        "hash_split": _q_hash_split,
+        "token_topk": _q_token_topk,
         "extract_pages": _q_extract_pages,
         "lineage_pages": _q_lineage_pages,
         "minhash_dedup": _q_minhash_dedup,
@@ -543,6 +594,15 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "fingerprint": "SELECT doc_id, md5(text) AS fp_md5 FROM documents",
+        "hash_split": (
+            "SELECT doc_id FROM documents WHERE substr(md5(text), 1, 1) < '3'"
+        ),
+        "token_topk": r"""
+            SELECT token, CAST(count(*) AS BIGINT) AS n_total
+            FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+            WHERE token <> ''
+            GROUP BY token ORDER BY n_total DESC, token LIMIT 20
+        """,
         "sidecar_join": (
             "SELECT o.o_orderkey, o.o_custkey, c.c_name AS cust_name "
             "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey"

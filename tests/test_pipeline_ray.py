@@ -153,3 +153,27 @@ def test_oversized_rows_routed_and_extracted(tmp_path, ray_session):
 
     df = duckdb.sql(f"SELECT url, status FROM '{out}/data/*/*.parquet' ORDER BY url").df()
     assert list(df["status"]) == ["ok", "ok"]
+
+
+def test_recompute_is_byte_identical(staged_run):
+    """Idempotency: recomputing an invalidated bucket reproduces the exact
+    same output bytes (order-insensitive per url)."""
+    import duckdb
+
+    staged, out = staged_run
+    run_extract(staged, out, library=GOLDEN_PROFILES, buckets_per_job=1,
+                concurrency=1, batch_size=8)
+    q = (
+        f"SELECT md5(string_agg(url || '|' || coalesce(extracted_text, '') "
+        f"|| '|' || status, chr(10) ORDER BY url)) FROM '{out}/data/*/*.parquet'"
+    )
+    digest1 = duckdb.sql(q).fetchone()[0]
+    victim = sorted(
+        p for p in os.listdir(os.path.join(out, "_manifests"))
+        if not p.startswith("_")
+    )[0].removesuffix(".json")
+    os.unlink(os.path.join(out, "_manifests", f"{victim}.json"))
+    run_extract(staged, out, library=GOLDEN_PROFILES, buckets_per_job=1,
+                concurrency=1, batch_size=8)
+    digest2 = duckdb.sql(q).fetchone()[0]
+    assert digest1 == digest2

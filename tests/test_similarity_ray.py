@@ -78,3 +78,18 @@ def test_frame_sample_fanout(ray_session):
     ).to_pandas()
     assert len(out) == 18  # 6 media × 3 frames
     assert set(out.columns) == {"media_id", "frame_ms", "feature"}
+
+
+def test_ivf_index_recall(ray_session):
+    from xhs_ocr_ray.stages.similarity import IvfIndexSearch
+
+    ds, vecs = _emb_ds(n=256)
+    idx = IvfIndexSearch(ds, n_centroids=8, nprobe=3)
+    unit = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    hits = 0
+    for qi in range(8):
+        got = [i for i, _ in idx.search(vecs[qi], k=5)]
+        assert qi in got
+        exact = set(np.argsort(-(unit @ unit[qi]))[:5].tolist())
+        hits += len(set(got) & exact)
+    assert hits / 40 > 0.5

@@ -150,3 +150,84 @@ class LshIndexSearch:
                 cand.extend(zip(ids, sims.tolist()))
         cand.sort(key=lambda t: (-t[1], t[0]))
         return cand[:k]
+
+
+class IvfIndexSearch:
+    """IVF (inverted-file) ANN: k-means coarse quantizer + per-centroid
+    posting lists; queries probe the ``nprobe`` nearest centroids.
+
+    Build is Ray-distributed: centroids are trained with a few Lloyd
+    iterations over a deterministic sample (driver-side numpy — centroids
+    are tiny), then ONE ``map_batches`` pass assigns every vector and emits
+    (centroid_id, id, unit_vec) rows that group into posting lists. The
+    scale path for the posting lists is a groupby write; here they are
+    collected (bench corpus is driver-small) — documented trade-off.
+    """
+
+    def __init__(self, ds, *, vec_col: str = "embedding", id_col: str = "vec_id",
+                 n_centroids: int = 16, nprobe: int = 3, iters: int = 5,
+                 sample: int = 2048, seed: int = 13):
+        self.vec_col, self.id_col = vec_col, id_col
+        self.nprobe = nprobe
+        sample_vals = ds.limit(sample).select_columns([vec_col]).to_pandas()[vec_col]
+        mat = np.asarray(sample_vals.tolist(), dtype=np.float32)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        unit = mat / norms
+        rng = np.random.default_rng(seed)
+        k = min(n_centroids, len(unit))
+        centroids = unit[rng.choice(len(unit), size=k, replace=False)]
+        for _ in range(iters):
+            assign = (unit @ centroids.T).argmax(axis=1)
+            for c in range(k):
+                members = unit[assign == c]
+                if len(members):
+                    v = members.mean(axis=0)
+                    n = np.linalg.norm(v)
+                    if n > 0:
+                        centroids[c] = v / n
+        self.centroids = centroids.astype(np.float32)
+
+        cents = self.centroids
+
+        def assign_rows(batch):
+            import pyarrow as pa
+
+            m = _as_matrix(batch.column(vec_col))
+            if m.size == 0:
+                return pa.table({"cid": pa.array([], pa.int32()),
+                                 id_col: batch.column(id_col),
+                                 "unit": pa.array([], pa.list_(pa.float32()))})
+            nrm = np.linalg.norm(m, axis=1, keepdims=True)
+            nrm[nrm == 0] = 1.0
+            u = m / nrm
+            cid = (u @ cents.T).argmax(axis=1).astype(np.int32)
+            return pa.table(
+                {
+                    "cid": pa.array(cid),
+                    id_col: batch.column(id_col),
+                    "unit": pa.array([v.tolist() for v in u], pa.list_(pa.float32())),
+                }
+            )
+
+        rows = ds.map_batches(assign_rows, batch_format="pyarrow").take_all()
+        lists: dict[int, tuple[list, list]] = {}
+        for r in rows:
+            ids, vecs = lists.setdefault(int(r["cid"]), ([], []))
+            ids.append(r[self.id_col])
+            vecs.append(np.asarray(r["unit"], dtype=np.float32))
+        self.postings = {c: (ids, np.stack(vs)) for c, (ids, vs) in lists.items()}
+
+    def search(self, query_vec, k: int = 10) -> list[tuple]:
+        q = np.asarray(query_vec, dtype=np.float32)
+        q = q / (np.linalg.norm(q) or 1.0)
+        order = np.argsort(-(self.centroids @ q))[: self.nprobe]
+        cand: list[tuple] = []
+        for c in order:
+            got = self.postings.get(int(c))
+            if got:
+                ids, mat = got
+                sims = mat @ q
+                cand.extend(zip(ids, sims.tolist()))
+        cand.sort(key=lambda t: (-t[1], t[0]))
+        return cand[:k]

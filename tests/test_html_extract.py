@@ -107,3 +107,23 @@ def test_hostile_deep_nesting_does_not_crash():
     res = eng.extract_row("https://h.example.com/article/1", payload)
     assert res.status == "ok"
     assert "deep text here for density" in res.text
+
+
+def test_self_closed_script_does_not_swallow_document():
+    eng = ExtractorEngine()
+    res = eng.extract_row(
+        "https://h.example.com/article/1",
+        b'<html><body><script src="x"/><p>Hello world content</p></body></html>',
+    )
+    assert res.status == "ok"
+    assert "Hello world content" in res.text
+
+
+def test_data_class_attribute_not_confused_with_class():
+    eng = ExtractorEngine()
+    res = eng.extract_row(
+        "https://h.example.com/article/1",
+        b'<div data-class="promo"><p>real article body text here for density</p></div>',
+    )
+    assert res.status == "ok"
+    assert "real article body" in res.text

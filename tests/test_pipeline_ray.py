@@ -91,15 +91,28 @@ def test_run_extract_and_resume(staged_run):
                       concurrency=1, batch_size=8)
     assert res["rows_written"] == len(golden_corpus())
     assert not res["skipped"]
-    # Second run: everything skipped, nothing recomputed.
-    res2 = run_extract(staged, out, library=GOLDEN_PROFILES)
+    # Second run (same layout): everything skipped, nothing recomputed.
+    res2 = run_extract(staged, out, library=GOLDEN_PROFILES, buckets_per_job=1)
     assert res2["rows_written"] == 0
     assert sorted(res2["skipped"]) == sorted(res["processed"])
-    # Invalidate one bucket's manifest → only that bucket recomputes.
+    # Invalidate one group's manifest → only that group recomputes.
     victim = res["processed"][0]
-    os.unlink(os.path.join(out, "_manifests", f"{victim}.json"))
+    os.unlink(os.path.join(out, "_manifests", f"group-{victim}.json"))
     res3 = run_extract(staged, out, library=GOLDEN_PROFILES, buckets_per_job=1)
     assert res3["processed"] == [victim]
+
+
+def test_layout_change_invalidates_output(staged_run):
+    """Changing buckets_per_job between runs must not leave stale rows."""
+    import duckdb
+
+    staged, out = staged_run
+    run_extract(staged, out, library=GOLDEN_PROFILES, buckets_per_job=1,
+                concurrency=1, batch_size=8)
+    res = run_extract(staged, out, library=GOLDEN_PROFILES)  # one big group
+    assert res["rows_written"] == len(golden_corpus())  # recomputed cleanly
+    n = duckdb.sql(f"SELECT count(*) FROM '{out}/data/*/*.parquet'").fetchone()[0]
+    assert n == len(golden_corpus())  # no stale duplicates from old layout
 
 
 def test_bucketize_idempotent(staged_run, tmp_path):
@@ -170,9 +183,9 @@ def test_recompute_is_byte_identical(staged_run):
     digest1 = duckdb.sql(q).fetchone()[0]
     victim = sorted(
         p for p in os.listdir(os.path.join(out, "_manifests"))
-        if not p.startswith("_")
-    )[0].removesuffix(".json")
-    os.unlink(os.path.join(out, "_manifests", f"{victim}.json"))
+        if p.startswith("group-")
+    )[0]
+    os.unlink(os.path.join(out, "_manifests", victim))
     run_extract(staged, out, library=GOLDEN_PROFILES, buckets_per_job=1,
                 concurrency=1, batch_size=8)
     digest2 = duckdb.sql(q).fetchone()[0]

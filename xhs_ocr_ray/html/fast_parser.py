@@ -38,8 +38,9 @@ _ATTR = re.compile(
 )
 # The extractor only ever reads class and id (pruning + span-mask
 # selectors); parsing just those two is ~5x cheaper than a full attr scan.
-_CLASS_ATTR = re.compile(r"""\bclass\s*=\s*("[^"]*"|'[^']*'|[^\s"'>]+)""", re.IGNORECASE)
-_ID_ATTR = re.compile(r"""\bid\s*=\s*("[^"]*"|'[^']*'|[^\s"'>]+)""", re.IGNORECASE)
+# (?<![-\w]) — NOT \b — so data-class= / item-id= never match as class/id.
+_CLASS_ATTR = re.compile(r"""(?<![-\w])class\s*=\s*("[^"]*"|'[^']*'|[^\s"'>]+)""", re.IGNORECASE)
+_ID_ATTR = re.compile(r"""(?<![-\w])id\s*=\s*("[^"]*"|'[^']*'|[^\s"'>]+)""", re.IGNORECASE)
 _RAW_END = {
     "script": re.compile(r"</script[^>]*>", re.IGNORECASE),
     "style": re.compile(r"</style[^>]*>", re.IGNORECASE),
@@ -101,6 +102,14 @@ def fast_parse_html(html: bytes | str) -> Element:
             stack[-1].children.append(text)
         pos = m.end()
         end_tag, start_tag, attr_raw, self_close = m.group(1, 2, 3, 4)
+        if not self_close and attr_raw:
+            # The greedy attr group eats a trailing "/": it marks
+            # self-closing only when preceded by a quote/whitespace/nothing
+            # (stdlib semantics — an unquoted value like href=x/ keeps it).
+            ar = attr_raw.rstrip()
+            if ar.endswith("/") and ar[-2:-1] in ('"', "'", "", " ", "\t"):
+                self_close = "/"
+                attr_raw = ar[:-1]
         if end_tag is not None:
             tag = end_tag.lower()
             for i in range(len(stack) - 1, 0, -1):
@@ -117,8 +126,10 @@ def fast_parse_html(html: bytes | str) -> Element:
                 attrs = {}
             el = Element(tag, attrs, stack[-1])
             stack[-1].children.append(el)
-            if tag in _RAW_END:
+            if tag in _RAW_END and not self_close:
                 # Raw-text element: consume to the closing tag verbatim.
+                # (A self-closed <script/> has no raw content — consuming
+                # would swallow the rest of the document.)
                 rm = _RAW_END[tag].search(html, pos)
                 if rm is None:
                     el.children.append(html[pos:])

@@ -14,7 +14,6 @@ from html.parser import HTMLParser
 VOID_TAGS = frozenset(
     "area base br col embed hr img input link meta param source track wbr".split()
 )
-RAW_TEXT_TAGS = frozenset(("script", "style"))
 MAX_DEPTH = 256
 # Tags that implicitly close an open element of the same tag (tolerance for
 # common unclosed-markup patterns in crawled HTML).

@@ -134,25 +134,55 @@ def run_extract(staged_dir: str, out_dir: str, *,
                 buckets_per_job: int | None = None) -> dict:
     """Extract + dedup + lineage over pending buckets; returns run metrics.
 
-    ``buckets_per_job=None`` processes all pending buckets in one streaming
-    job (fastest; coarse resume). Small values give finer resume granularity
-    (manifests commit after each group).
+    ``buckets_per_job=None`` processes all buckets in one streaming job
+    (fastest; coarse resume). Small values give finer resume granularity.
+
+    Groups are STATIC partitions of the full bucket list (not of the pending
+    subset), and each group owns its output dir + manifest: recomputing a
+    stale group atomically replaces exactly its own rows, never leaving
+    stale rows in a differently-shaped old group dir. Changing
+    ``buckets_per_job`` between runs changes the layout → the whole output
+    is invalidated (recorded in the ``_layout`` manifest).
     """
+    import shutil
+
     import pyarrow.compute as pc
     import ray.data
 
     buckets = _bucket_dirs(staged_dir)
-    shards = {sid: ckpt.input_fingerprint(files) for sid, files in buckets.items()}
-    pending = ckpt.pending_shards(shards, out_dir)
-    skipped = [sid for sid in shards if sid not in pending]
-    if not pending:
+    all_ids = sorted(buckets, key=int)
+    group_size = buckets_per_job or len(all_ids)
+    groups_all = [all_ids[i : i + group_size]
+                  for i in range(0, len(all_ids), group_size)]
+
+    layout = {"group_size": group_size, "bucket_ids": all_ids}
+    prior = ckpt.read_manifest(out_dir, "_layout")
+    if prior is not None and (
+        prior.get("group_size") != group_size
+        or prior.get("bucket_ids") != all_ids
+    ):
+        # Different grouping → old group dirs don't align; start clean.
+        for sub in ("data", "lineage", "_manifests"):
+            shutil.rmtree(os.path.join(out_dir, sub), ignore_errors=True)
+    ckpt.commit_manifest(out_dir, "_layout", dict(layout, status="ok"))
+
+    def gid_of(group: list[str]) -> str:
+        return f"{group[0]}-{group[-1]}"
+
+    fingerprints = {
+        gid_of(g): ckpt.input_fingerprint([f for sid in g for f in buckets[sid]])
+        for g in groups_all
+    }
+    groups = [
+        g for g in groups_all
+        if not ckpt.is_complete(out_dir, f"group-{gid_of(g)}", fingerprints[gid_of(g)])
+    ]
+    skipped = [gid_of(g) for g in groups_all if g not in groups]
+    if not groups:
         return {"rows_written": 0, "processed": [], "skipped": skipped}
 
-    group_size = buckets_per_job or len(pending)
-    groups = [pending[i : i + group_size] for i in range(0, len(pending), group_size)]
     total_rows = 0
     for group in groups:
-        files = [f for sid in group for f in buckets[sid]]
         # Oversized rows live in their own bucket range (see add_bucket):
         # disjoint file sets → two extraction paths with zero double-read.
         num_buckets = _num_buckets_of(staged_dir)
@@ -205,7 +235,7 @@ def run_extract(staged_dir: str, out_dir: str, *,
         # (html already projected away) and spills to disk if needed.
         extracted = extracted.materialize()
         deduped = exact_dedup(extracted, ["url"], "warc_ts")
-        gid = f"{group[0]}-{group[-1]}"
+        gid = gid_of(group)
         data_dir = os.path.join(out_dir, "data", f"group={gid}")
         with ckpt.atomic_output_dir(data_dir) as tmp:
             deduped.write_parquet(tmp)
@@ -221,13 +251,16 @@ def run_extract(staged_dir: str, out_dir: str, *,
             for f in glob.glob(os.path.join(data_dir, "*.parquet"))
         )
         total_rows += n
-        for sid in group:
-            ckpt.commit_manifest(
-                out_dir, sid,
-                {"fingerprint": shards[sid], "status": "ok",
-                 "group": gid, "rows_in_group": n},
-            )
-    return {"rows_written": total_rows, "processed": pending, "skipped": skipped}
+        ckpt.commit_manifest(
+            out_dir, f"group-{gid}",
+            {"fingerprint": fingerprints[gid], "status": "ok",
+             "buckets": group, "rows": n},
+        )
+    return {
+        "rows_written": total_rows,
+        "processed": [gid_of(g) for g in groups],
+        "skipped": skipped,
+    }
 
 
 def extract_dataset(pages_ds, *, library: ProfileLibrary | None = None,

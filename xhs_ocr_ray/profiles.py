@@ -71,21 +71,31 @@ def _parse_selector(sel: str) -> tuple[str, str]:
 def _matches(el: Element, tag: str, cls: str) -> bool:
     if tag and el.tag != tag:
         return False
-    if cls and cls not in el.attr("class"):
+    # CSS class semantics: token membership, not substring (".ad" must not
+    # match class="header").
+    if cls and cls not in el.attr("class").split():
         return False
     return True
 
 
 def apply_span_mask(root: Element, selectors: tuple[str, ...]) -> Element:
     """Keep only subtrees matching any selector (document order) — the
-    alpha-mask analog. No selectors → identity."""
+    alpha-mask analog. No selectors → identity. A matched element's
+    descendants are not re-collected (each span appears exactly once)."""
     if not selectors:
         return root
     parsed = [_parse_selector(s) for s in selectors]
     keep: list[Element] = []
-    for el in root.iter_elements():
+
+    def collect(el: Element) -> None:
         if any(_matches(el, t, c) for t, c in parsed):
             keep.append(el)
+            return  # don't descend: subtree already kept
+        for ch in el.children:
+            if isinstance(ch, Element):
+                collect(ch)
+
+    collect(root)
     masked = Element("#masked", {}, None)
     masked.children = list(keep)
     return masked

@@ -91,23 +91,6 @@ def exact_dedup(ds, key_cols: list[str], order_col: str):
 # MinHash-LSH near dedup
 # --------------------------------------------------------------------------
 
-def _pairs_from_bucket(ids: list, sigs: np.ndarray, threshold: float) -> list[tuple]:
-    """Signature-verified candidate pairs within one LSH bucket (vectorized:
-    one (n², num_perm) equality reduction instead of per-pair Python)."""
-    n = min(len(ids), MAX_BUCKET)
-    if n < 2:
-        return []
-    sigs = sigs[:n]
-    ia, ib = np.triu_indices(n, k=1)
-    est = (sigs[ia] == sigs[ib]).mean(axis=1)
-    hits = est >= threshold
-    out = []
-    for i, j, e in zip(ia[hits], ib[hits], est[hits]):
-        a, b = ids[i], ids[j]
-        out.append((min(a, b), max(a, b), float(e)))
-    return out
-
-
 def _union_find(pairs: list[tuple]) -> dict:
     parent: dict = {}
 
@@ -320,8 +303,21 @@ def ngram_jaccard_pairs(ds, text_col: str, id_col: str, block_cols: list[str],
     """Exact word-n-gram Jaccard over pairs that share a blocking key.
 
     The blocking key bounds the quadratic comparison (docs sharing e.g.
-    (lang, source)); returns ``(a, b, jaccard)`` pairs ≥ threshold.
+    (lang, source)); returns ``(a, b, jaccard)`` pairs ≥ threshold. Routed
+    through the 256-way key-hash bucket (the repo groupby idiom) so high
+    blocking-key cardinality never means one Python dispatch per key.
     """
+
+    def coarse_blocks(chunk: pd.DataFrame) -> pd.DataFrame:
+        outs = [
+            block_pairs(g)
+            for _, g in chunk.drop(columns="__kb").groupby(
+                block_cols, sort=False, dropna=False
+            )
+        ]
+        if not outs:
+            return pd.DataFrame({"a": [], "b": [], "jaccard": []})
+        return pd.concat(outs, ignore_index=True)
 
     def block_pairs(group: pd.DataFrame) -> pd.DataFrame:
         rows = group.head(MAX_BUCKET)
@@ -345,7 +341,12 @@ def ngram_jaccard_pairs(ds, text_col: str, id_col: str, block_cols: list[str],
         arr = list(zip(*out))
         return pd.DataFrame({"a": arr[0], "b": arr[1], "jaccard": arr[2]})
 
-    return ds.groupby(block_cols).map_groups(block_pairs, batch_format="pandas")
+    return (
+        ds.map_batches(_add_key_bucket, batch_format="pyarrow",
+                       fn_kwargs={"key_cols": block_cols})
+        .groupby("__kb")
+        .map_groups(coarse_blocks, batch_format="pandas")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -360,7 +361,6 @@ def embedding_dedup(ds, vec_col: str, id_col: str, *, threshold: float = 0.95,
     fixed hyperplanes; exact cosine verifies within-bucket pairs. Recall is
     probabilistic (single table) — the scale path would OR several tables.
     """
-    rng = np.random.default_rng(seed)
     planes: np.ndarray | None = None  # lazily sized from the first batch
 
     def sig_rows(batch: pa.Table) -> pa.Table:

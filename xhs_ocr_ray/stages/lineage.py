@@ -8,18 +8,9 @@ O(prefixes × statuses) rows, not O(documents) — the SURVEY §4 scale rule.
 
 from __future__ import annotations
 
-import urllib.parse
-
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
-
-
-def url_prefix_of(url: str) -> str:
-    try:
-        return urllib.parse.urlsplit(url).netloc or "unknown"
-    except ValueError:
-        return "unknown"
 
 
 def add_url_prefix(batch: pa.Table) -> pa.Table:
@@ -42,7 +33,7 @@ def _partial(batch: pa.Table) -> pa.Table:
         }
     )
     agg = (
-        df.groupby(["url_prefix", "status", "profile_id"], sort=True)
+        df.groupby(["url_prefix", "status", "profile_id"], sort=True, dropna=False)
         .agg(n_docs=("status", "size"), bytes_in=("html_bytes", "sum"),
              chars_out=("n_chars", "sum"))
         .reset_index()
@@ -78,7 +69,7 @@ def prefix_summary(extracted_ds):
             }
         )
         agg = (
-            df.groupby("url_prefix", sort=True)
+            df.groupby("url_prefix", sort=True, dropna=False)
             .agg(
                 n_docs=("ok", "size"),
                 n_ok=("ok", "sum"),

@@ -155,29 +155,30 @@ def broadcast_join(big_ds, small_ds, on: str, select: dict[str, str],
     ``select`` maps small-side column → output name. ``how``: "inner" keeps
     matching rows, "semi" keeps matching big rows unchanged, "anti" keeps
     non-matching big rows unchanged. ``right_on`` names the small side's key
-    column when it differs from ``on``.
+    column when it differs from ``on``. Duplicate keys on the small side
+    resolve first-wins (the reference's dedup convention, D1), so a repeated
+    sidecar record can never expand the big side.
     """
+    import pandas as pd
     import ray
 
     small_df = small_ds.to_pandas().set_index(right_on or on)
+    small_df = small_df[~small_df.index.duplicated(keep="first")]
     small_ref = ray.put(small_df)
 
     def join_batch(batch: pa.Table) -> pa.Table:
-        import numpy as np
-
         sm = ray.get(small_ref)
-        keys = batch.column(on).to_pylist()
-        member = np.fromiter((k in sm.index for k in keys), dtype=bool,
-                             count=len(keys))
+        keys = pd.Index(batch.column(on).to_pylist())
+        member = sm.index.get_indexer(keys) != -1  # vectorized membership
         if how == "semi":
             return batch.filter(pa.array(member))
         if how == "anti":
             return batch.filter(pa.array(~member))
         batch = batch.filter(pa.array(member))
-        keys = batch.column(on).to_pylist()
+        keys = keys[member]
         out = batch
         for src, dst in select.items():
-            vals = sm.loc[keys, src].tolist() if keys else []
+            vals = sm[src].reindex(keys).tolist() if len(keys) else []
             out = out.append_column(dst, pa.array(vals))
         return out
 

@@ -115,5 +115,5 @@ def grouped_partial_counts(batch: pa.Table, group_cols: list[str],
     aggs = {"n_rows": (group_cols[0], "size")}
     if sum_col:
         aggs["sum_val"] = (sum_col, "sum")
-    out = df.groupby(group_cols, sort=True).agg(**aggs).reset_index()
+    out = df.groupby(group_cols, sort=True, dropna=False).agg(**aggs).reset_index()
     return pa.Table.from_pandas(out, preserve_index=False)

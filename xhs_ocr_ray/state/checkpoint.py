@@ -95,3 +95,26 @@ def atomic_output_dir(final_dir: str):
             return False
 
     return _Ctx()
+
+
+def gc_expired(out_dir: str, *, keep_after: float) -> list[str]:
+    """Manifest-driven retention purge (the reference's 2-day directory purge,
+    social_ocr.py:31-53, recast): remove group output dirs + manifests whose
+    commit time predates ``keep_after`` (unix seconds). Returns removed ids."""
+    removed: list[str] = []
+    mdir = manifest_dir(out_dir)
+    if not os.path.isdir(mdir):
+        return removed
+    for name in sorted(os.listdir(mdir)):
+        if not name.startswith("group-") or not name.endswith(".json"):
+            continue
+        sid = name[: -len(".json")]
+        m = read_manifest(out_dir, sid)
+        if m and m.get("committed_at", 0) < keep_after:
+            gid = sid[len("group-"):]
+            for sub in ("data", "lineage"):
+                shutil.rmtree(os.path.join(out_dir, sub, f"group={gid}"),
+                              ignore_errors=True)
+            os.unlink(manifest_path(out_dir, sid))
+            removed.append(gid)
+    return removed

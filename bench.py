@@ -140,7 +140,17 @@ def scaling() -> None:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = run(lo_n), run(hi_n)
+    # The VM's effective CPU capacity drifts ±40% over hours (hypervisor
+    # bursting — measured with burn tests). Interleave the levels and take
+    # the best run per level so host drift doesn't masquerade as (anti-)
+    # scaling. One pass each way ≈ controls a monotone drift.
+    reps = int(os.environ.get("BENCH_SCALE_REPS", "2"))
+    lo_runs, hi_runs = [], []
+    for _ in range(reps):
+        lo_runs.append(run(lo_n))
+        hi_runs.append(run(hi_n))
+    lo = min(lo_runs, key=lambda r: r["value"])
+    hi = min(hi_runs, key=lambda r: r["value"])
     eff = (lo["docs_per_sec"] and hi["docs_per_sec"] / lo["docs_per_sec"] / (hi_n / lo_n))
     print(
         json.dumps(

@@ -33,12 +33,14 @@ def entry() -> Any:
     import ray.data
 
     from xhs_ocr_ray.pipelines.extract_pages import extract_dataset
+    from xhs_ocr_ray.profiles import default_library
     from xhs_ocr_ray.sources.pages import ensure_pages_parquet
     from xhs_ocr_ray.stages.dedup import exact_dedup
 
     pages_dir = ensure_pages_parquet("/root/testdata/sf0.001")
     pages = ray.data.read_parquet(pages_dir, columns=["url", "warc_ts", "html", "lang"])
-    extracted = extract_dataset(pages, concurrency=(1, 4), batch_size=64)
+    extracted = extract_dataset(pages, library=default_library(),
+                                concurrency=(1, 4), batch_size=64)
     return exact_dedup(extracted, ["url"], "warc_ts")
 
 
@@ -427,9 +429,12 @@ def _q_extract_pages(sf_dir: str):
     from xhs_ocr_ray.sources.pages import ensure_pages_parquet
     from xhs_ocr_ray.stages.dedup import exact_dedup
 
+    from xhs_ocr_ray.profiles import default_library
+
     pages_dir = ensure_pages_parquet(sf_dir)
     pages = ray.data.read_parquet(pages_dir, columns=["url", "warc_ts", "html", "lang"])
-    extracted = extract_dataset(pages, concurrency=(1, 4), batch_size=64)
+    extracted = extract_dataset(pages, library=default_library(),
+                                concurrency=(1, 4), batch_size=64)
     return exact_dedup(extracted, ["url"], "warc_ts").select_columns(
         ["url", "status", "profile_id", "n_chars", "n_lines"]
     )
@@ -442,9 +447,14 @@ def _q_lineage_pages(sf_dir: str):
     from xhs_ocr_ray.sources.pages import ensure_pages_parquet
     from xhs_ocr_ray.stages.lineage import prefix_summary
 
+    from xhs_ocr_ray.profiles import default_library
+
     pages_dir = ensure_pages_parquet(sf_dir)
     pages = ray.data.read_parquet(pages_dir, columns=["url", "warc_ts", "html", "lang"])
-    return prefix_summary(extract_dataset(pages, concurrency=(1, 4), batch_size=64))
+    return prefix_summary(
+        extract_dataset(pages, library=default_library(),
+                        concurrency=(1, 4), batch_size=64)
+    )
 
 
 def _q_minhash_dedup(sf_dir: str):

@@ -6,10 +6,11 @@ over the deterministic pages corpus derived from ``$GRAFT_SF_DIR`` documents
 (amplified ×``$BENCH_REPLICAS``, default 8). Corpus generation and an OS
 page-cache warm-up read are untimed.
 
-``--scaling``: runs the identical job in two fresh processes at
-``num_cpus=8`` and ``num_cpus=32`` on the same input and reports throughputs
-plus efficiency = (docs/s@32 / docs/s@8) / 4 (the sandbox substitute for the
-north rule's N-vs-4N-node criterion; see BASELINE.md).
+``--scaling``: runs the identical job in fresh processes at two parallelism
+levels (default N=4 and 4N=16; see BASELINE.md for the hardware rationale),
+interleaved best-of-``BENCH_SCALE_REPS``, and reports throughputs plus
+efficiency = (docs/s@4N / docs/s@N) / 4 — the sandbox substitute for the
+north rule's N-vs-4N-node criterion.
 """
 
 from __future__ import annotations
@@ -55,8 +56,11 @@ def run_headline() -> tuple[float, int]:
     # Pool floor at half the CPUs: skips the slow autoscaling ramp but always
     # leaves CPUs for the read/shuffle/write stages (a floor == num_cpus
     # deadlocks the pipeline).
+    from xhs_ocr_ray.profiles import default_library
+
     res = run_extract(
         staged, out,
+        library=default_library(),
         concurrency=(max(1, NUM_CPUS // 2), NUM_CPUS),
         batch_size=128,
     )

@@ -190,3 +190,26 @@ def test_recompute_is_byte_identical(staged_run):
                 concurrency=1, batch_size=8)
     digest2 = duckdb.sql(q).fetchone()[0]
     assert digest1 == digest2
+
+
+def test_flagship_metrics_pages_use_profile_fallback(ray_session):
+    import json
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from xhs_ocr_ray.profiles import default_library
+    from xhs_ocr_ray.sources.pages import pages_from_documents
+
+    docs = pq.read_table("/root/testdata/sf0.001/documents.parquet").slice(0, 60)
+    pages = pages_from_documents(docs)
+    out = extract_dataset(
+        ray.data.from_arrow(pages), library=default_library(),
+        concurrency=1, batch_size=32,
+    ).to_pandas()
+    metrics = out[out["url"].str.contains("/metrics/")]
+    assert len(metrics) >= 1  # doc_id 13 and 42 in range
+    assert (metrics["status"] == "ok").all()
+    assert (metrics["profile_id"] == 2).all()  # fallback fired
+    fields = json.loads(metrics.iloc[0]["fields"])
+    assert set(fields) == {"views", "likes", "shares"}

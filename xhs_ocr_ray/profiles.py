@@ -160,3 +160,35 @@ def extract_with_profiles(html: bytes | str, profiles: list[Profile],
             fields_json = None
         return ExtractionResult(text, fields_json, prof.profile_id, "ok")
     return ExtractionResult(None, None, -1, "failed_all_profiles")
+
+
+def default_library() -> ProfileLibrary:
+    """The flagship's profile library (analog of the shipped mask library +
+    config.ini [tags]): metrics-panel pages carry an ordered fallback pair —
+    profile 1 declares four fields and fails its cardinality check on
+    three-metric pages, forcing the fallback (reference mask loop,
+    core/run.py:377-501). All other doc classes use main-content extraction.
+    """
+    lib = ProfileLibrary()
+    lib.add(
+        Profile(
+            doc_class="metrics",
+            profile_id=1,
+            keep_selectors=("div.metrics-panel",),
+            field_names=("views", "likes", "shares", "comments"),
+            field_regexes=(
+                r"^views (\d+)$", r"^likes (\d+)$",
+                r"^shares (\d+)$", r"^comments (\d+)$",
+            ),
+        )
+    )
+    lib.add(
+        Profile(
+            doc_class="metrics",
+            profile_id=2,
+            keep_selectors=("div.metrics-panel",),
+            field_names=("views", "likes", "shares"),
+            field_regexes=(r"^views (\d+)$", r"^likes (\d+)$", r"^shares (\d+)$"),
+        )
+    )
+    return lib

@@ -43,6 +43,7 @@ def main(argv: list[str] | None = None) -> int:
     ray.data.DataContext.get_current().enable_progress_bars = False
 
     from xhs_ocr_ray.pipelines.extract_pages import bucketize, run_extract
+    from xhs_ocr_ray.profiles import default_library
 
     max_actors = args.concurrency or int(ray.cluster_resources().get("CPU", 8))
     since_ts = (
@@ -52,6 +53,7 @@ def main(argv: list[str] | None = None) -> int:
     res = run_extract(
         args.staged,
         args.out,
+        library=default_library(),
         since_ts=since_ts,
         concurrency=(1, max_actors),
         batch_size=args.batch_size,

@@ -13,6 +13,9 @@ Two generators:
 
    - ``doc_id % 17 == 3``  → %LAYOUT1 text-box payload (layout/PDF path);
    - ``doc_id % 23 == 5``  → %PDF stub payload (quarantine path);
+   - ``doc_id % 29 == 13`` → metrics-panel page (masked-span profile path:
+     the first profile fails its field-count check, the fallback binds
+     views/likes/shares — the reference's mask-fallback loop at scale);
    - ``doc_id % 50 == 7``  → the row is emitted TWICE (same url, +1h
      timestamp) to exercise exact per-url dedup;
    - ``doc_id % 199 == 11`` → the article body is repeated 40× (multi-hundred
@@ -136,6 +139,25 @@ def build_article_html(title: str, text: str, repeat: int = 1) -> bytes:
     return page.encode("utf-8")
 
 
+def build_metrics_html(doc_id: int, title: str) -> bytes:
+    """A metrics-panel page (the masked-span doc class): numbers derived
+    deterministically from doc_id; wrapped in the same heavy chrome."""
+    views, likes, shares = doc_id * 37 % 100000, doc_id * 13 % 5000, doc_id * 7 % 500
+    panel = (
+        '<div class="metrics-panel">'
+        f'<div class="metric"><span class="label">views</span> <span class="value">{views}</span></div>'
+        f'<div class="metric"><span class="label">likes</span> <span class="value">{likes}</span></div>'
+        f'<div class="metric"><span class="label">shares</span> <span class="value">{shares}</span></div>'
+        "</div>"
+    )
+    page = (
+        "<html><head><title>" + html_mod.escape(title) + "</title></head><body>"
+        + _NAV + _ADS + '<div class="content-wrap">' + panel + "</div>"
+        + _SIDEBAR + _FOOTER + "</body></html>"
+    )
+    return page.encode("utf-8")
+
+
 def build_layout_payload(text: str, parser: str = "multi_para") -> bytes:
     """Arrange the text's paragraphs as one text-box per line on a page grid."""
     blocks = []
@@ -199,6 +221,8 @@ def pages_from_documents(batch: pa.Table, replicas: int = 1) -> pa.Table:
             kind, payload = "layout", build_layout_payload(text)
         elif doc_id % 23 == 5:
             kind, payload = "pdf", b"%PDF-1.7\n" + text.encode("utf-8")[:64]
+        elif doc_id % 29 == 13:
+            kind, payload = "metrics", build_metrics_html(doc_id, title)
         elif doc_id % 199 == 11:
             kind, payload = "article", build_article_html(title, text, repeat=40)
         else:
@@ -223,7 +247,7 @@ def pages_from_documents(batch: pa.Table, replicas: int = 1) -> pa.Table:
     )
 
 
-GENERATOR_VERSION = 4  # bump to invalidate /tmp page caches
+GENERATOR_VERSION = 5  # bump to invalidate /tmp page caches
 
 
 def ensure_pages_parquet(sf_dir: str, cache_root: str = "/tmp/xhs_pages_cache",

@@ -18,8 +18,9 @@ Two generators:
      views/likes/shares — the reference's mask-fallback loop at scale);
    - ``doc_id % 50 == 7``  → the row is emitted TWICE (same url, +1h
      timestamp) to exercise exact per-url dedup;
-   - ``doc_id % 199 == 11`` → the article body is repeated 40× (multi-hundred
-     KB row — the oversized-row skew case);
+   - ``doc_id % 199 == 11`` → replica 0 is a genuinely oversized page (body
+     repeated 2500× ≈ 1.3 MB — crosses the OVERSIZED_HTML routing threshold);
+     other replicas are normal-size;
    - otherwise            → boilerplate-wrapped HTML article.
 
    Runs as a ``map_batches`` transform so corpus generation itself is a Ray
@@ -224,10 +225,13 @@ def pages_from_documents(batch: pa.Table, replicas: int = 1) -> pa.Table:
         elif doc_id % 29 == 13:
             kind, payload = "metrics", build_metrics_html(doc_id, title)
         elif doc_id % 199 == 11:
-            kind, payload = "article", build_article_html(title, text, repeat=40)
+            kind, payload = "article", build_article_html(title, text, repeat=2500)
         else:
             kind, payload = "article", build_article_html(title, text)
         for r in range(replicas):
+            if doc_id % 199 == 11 and r == 1:
+                # only replica 0 stays oversized; the rest are normal pages
+                payload = build_article_html(title, text)
             suffix = f"/r{r}" if r else ""
             url = f"https://{source}.example.com/{kind}/{doc_id}{suffix}"
             rt = t_us + r * 60_000_000
@@ -247,7 +251,7 @@ def pages_from_documents(batch: pa.Table, replicas: int = 1) -> pa.Table:
     )
 
 
-GENERATOR_VERSION = 5  # bump to invalidate /tmp page caches
+GENERATOR_VERSION = 6  # bump to invalidate /tmp page caches
 
 
 def ensure_pages_parquet(sf_dir: str, cache_root: str = "/tmp/xhs_pages_cache",

@@ -32,6 +32,19 @@ def test_golden_bytes(engine, key):
     assert (res.fields_json or "") == want_fields
 
 
+def test_pre_skips_nested_script_style():
+    # <pre> text is verbatim, but script/style bodies nested inside it must
+    # still be pruned (text_content() would leak them).
+    html = (
+        "<body><article><p>Intro text here with enough mass to be main "
+        "content for the selector</p><pre>line one\n"
+        "<script>evil()</script>line two</pre></article></body>"
+    )
+    out = extract_main_text(html)
+    assert "evil" not in out
+    assert "line one" in out and "line two" in out
+
+
 def test_masked_span_uses_fallback_profile(engine):
     row = CASES["masked-span"]
     res = engine.extract_row(row["url"], row["html"])

@@ -52,6 +52,20 @@ def test_rolling_fingerprint_stability():
     assert rolling_fingerprint("") == 0
 
 
+def test_rolling_window_hashes_offset_invariant():
+    from xhs_ocr_ray.functions.hashing import rolling_window_hashes
+
+    # A window hash depends only on its own chars: the same 8-char substring
+    # at different offsets / after different prefixes hashes identically.
+    w = 8
+    h1 = rolling_window_hashes("abcdefgh" + "PAYLOAD99" + "tail", w)
+    h2 = rolling_window_hashes("zzzzzzzzzzzz" + "PAYLOAD99" + "tail", w)
+    # windows fully inside "PAYLOAD99..." are shared between the two texts
+    assert len(set(h1) & set(h2)) >= 4
+    assert (rolling_window_hashes("XYZab", 3)[0]
+            == rolling_window_hashes("00XYZ", 3)[-1])
+
+
 def test_lang_id():
     lid = LangId()
     assert lid.classify("the cat sat on the mat and it is happy") == "en"

@@ -88,22 +88,46 @@ def hamming64(a: int, b: int) -> int:
     return bin(a ^ b).count("1")
 
 
-def rolling_fingerprint(text: str, window: int = 8, keep_mod: int = 16) -> int:
-    """Winnowing-style document fingerprint: polynomial rolling hash over a
-    sliding character window; XOR-fold the hashes that are ≡0 (mod
-    ``keep_mod``). Stable under small edits elsewhere in the document."""
-    if not text:
-        return 0
+def rolling_window_hashes(text: str, window: int = 8) -> list[int]:
+    """Polynomial rolling hash of every ``window``-char substring.
+
+    ``hashes[j]`` depends ONLY on ``text[j:j+window]`` — identical windows at
+    different offsets hash identically (the winnowing property). The outgoing
+    char is removed with coefficient ``base**window`` because the removal
+    happens *after* the multiply-append (it entered ``window`` steps ago at
+    coefficient ``base**(window-1)`` and has been multiplied once more since).
+    """
     base, mod = 1_000_003, _MERSENNE_61
+    power = pow(base, window, mod)
     h = 0
-    power = pow(base, window - 1, mod)
-    out = 0
-    n_kept = 0
+    out: list[int] = []
     for i, ch in enumerate(text):
         h = (h * base + ord(ch)) % mod
         if i >= window:
             h = (h - ord(text[i - window]) * power) % mod
-        if i >= window - 1 and h % keep_mod == 0:
+        if i >= window - 1:
+            out.append(h)
+    return out
+
+
+def rolling_fingerprint(text: str, window: int = 8, keep_mod: int = 16) -> int:
+    """Winnowing-style document fingerprint: polynomial rolling hash over a
+    sliding character window; XOR-fold the hashes that are ≡0 (mod
+    ``keep_mod``). Stable under small edits elsewhere in the document
+    (each kept window hash depends only on its own ``window`` chars)."""
+    if not text:
+        return 0
+    hashes = rolling_window_hashes(text, window)
+    if not hashes:  # text shorter than the window: hash the whole prefix
+        base, mod = 1_000_003, _MERSENNE_61
+        h = 0
+        for ch in text:
+            h = (h * base + ord(ch)) % mod
+        return h
+    out = 0
+    n_kept = 0
+    for h in hashes:
+        if h % keep_mod == 0:
             out ^= h
             n_kept += 1
-    return out if n_kept else h
+    return out if n_kept else hashes[-1]

@@ -150,8 +150,24 @@ def _inline_lines(el: Element, skip_tables: bool = False) -> tuple[list[str], in
     return lines, asm.chars, asm.link_chars
 
 
+def _pre_text(el: Element) -> str:
+    """Verbatim text of a <pre> subtree, skipping PRUNE_TAGS descendants
+    (text_content() would leak nested script/style bodies into output)."""
+    parts: list[str] = []
+
+    def walk(e: Element) -> None:
+        for ch in e.children:
+            if isinstance(ch, str):
+                parts.append(ch)
+            elif ch.tag not in PRUNE_TAGS:
+                walk(ch)
+
+    walk(el)
+    return "".join(parts)
+
+
 def _pre_lines(el: Element) -> list[str]:
-    raw = el.text_content().replace("\r\n", "\n").replace("\r", "\n")
+    raw = _pre_text(el).replace("\r\n", "\n").replace("\r", "\n")
     raw = raw.strip("\n")
     return raw.split("\n") if raw else []
 

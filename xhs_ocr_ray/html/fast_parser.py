@@ -132,10 +132,13 @@ def fast_parse_html(html: bytes | str) -> Element:
                 # would swallow the rest of the document.)
                 rm = _RAW_END[tag].search(html, pos)
                 if rm is None:
-                    el.children.append(html[pos:])
+                    # Unterminated raw-text element: stdlib HTMLParser stays
+                    # in CDATA mode and DROPS the tail — mirror that (never
+                    # leak raw markup into extraction, e.g. inside <pre>).
                     pos = n
                 else:
-                    el.children.append(html[pos : rm.start()])
+                    if rm.start() > pos:
+                        el.children.append(html[pos : rm.start()])
                     pos = rm.end()
             elif not self_close and tag not in VOID_TAGS and len(stack) < MAX_DEPTH:
                 stack.append(el)

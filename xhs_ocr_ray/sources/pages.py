@@ -263,8 +263,15 @@ def ensure_pages_parquet(sf_dir: str, cache_root: str = "/tmp/xhs_pages_cache",
     """
     import ray.data  # deferred: keep module importable without a Ray session
 
+    # Include a short hash of the absolute path: two corpora sharing a
+    # basename (a/sf0.1 vs b/sf0.1) must never reuse each other's cache.
+    import hashlib
+
+    path_tag = hashlib.blake2b(
+        os.path.abspath(sf_dir).encode("utf-8"), digest_size=4
+    ).hexdigest()
     tag = (os.path.basename(os.path.normpath(sf_dir))
-           + f"_v{GENERATOR_VERSION}_r{replicas}")
+           + f"_{path_tag}_v{GENERATOR_VERSION}_r{replicas}")
     out_dir = os.path.join(cache_root, tag)
     done_marker = os.path.join(out_dir, "_GENERATED")
     if os.path.exists(done_marker):

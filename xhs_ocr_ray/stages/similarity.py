@@ -31,14 +31,16 @@ def brute_force_topk(ds, query_vec, *, vec_col: str = "embedding",
     """
     import ray
 
-    q = np.asarray(query_vec, dtype=np.float32)
+    # float64 throughout: the DuckDB oracle (list_cosine_similarity) computes
+    # in double; float32 could order near-tied similarities differently.
+    q = np.asarray(query_vec, dtype=np.float64)
     q = q / (np.linalg.norm(q) or 1.0)
     q_ref = ray.put(q)
 
     def local_topk(batch: pa.Table) -> pa.Table:
         qv = ray.get(q_ref)
         ids = batch.column(id_col).to_pylist()
-        mat = _as_matrix(batch.column(vec_col))
+        mat = _as_matrix(batch.column(vec_col)).astype(np.float64)
         if mat.size == 0:
             return pa.table({id_col: pa.array([], batch.schema.field(id_col).type),
                              "sim": pa.array([], pa.float64())})

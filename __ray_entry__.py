@@ -288,7 +288,7 @@ def _q_count_distinct(sf_dir: str):
     """Distinct event types per user (pre-dedup per batch, then exact)."""
     import pandas as pd
 
-    from xhs_ocr_ray.stages.dedup import _add_key_bucket
+    from xhs_ocr_ray.stages.dedup import _add_key_bucket, default_num_buckets
 
     ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
 
@@ -314,7 +314,8 @@ def _q_count_distinct(sf_dir: str):
     return (
         ds.map_batches(batch_dedup, batch_format="pyarrow")
         .map_batches(_add_key_bucket, batch_format="pyarrow",
-                     fn_kwargs={"key_cols": ["user_id"]})
+                     fn_kwargs={"key_cols": ["user_id"],
+                                "num_buckets": default_num_buckets()})
         .groupby("__kb")
         .map_groups(bucket_nunique, batch_format="pandas")
     )

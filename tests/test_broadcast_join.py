@@ -42,3 +42,12 @@ def test_semi_and_anti_broadcast_join(ray_session):
     assert sorted(semi["k"].tolist()) == [1, 3]
     assert anti["k"].tolist() == [2]
     assert list(anti.columns) == ["k", "v"]  # big rows unchanged
+
+
+def test_broadcast_join_small_side_guard(ray_session):
+    import pytest
+
+    big, small = _sides()
+    with pytest.raises(ValueError, match="shuffle join"):
+        broadcast_join(big, small, on="k", right_on="kk", select={},
+                       max_rows=1)

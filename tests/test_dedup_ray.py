@@ -57,6 +57,52 @@ def test_ngram_jaccard_pairs(ray_session):
     assert not any(3 in p for p in got)
 
 
+def test_components_match_union_find(ray_session):
+    """Distributed min-label propagation == driver union-find, including
+    multi-hop chains (several propagation rounds) and singletons."""
+    import ray.data
+
+    from xhs_ocr_ray.stages.components import assign_clusters, connected_components
+    from xhs_ocr_ray.stages.dedup import _union_find
+
+    rng = np.random.default_rng(42)
+    n = 300
+    edges = [
+        (int(a), int(b)) for a, b in rng.integers(0, n, size=(150, 2)) if a != b
+    ]
+    edges += [(i, i + 1) for i in range(200, 212)]  # a 13-node chain
+    pairs_ds = ray.data.from_items(
+        [{"a": min(a, b), "b": max(a, b)} for a, b in edges]
+    )
+    ids_ds = ray.data.from_items([{"id": i} for i in range(n)])
+    ref = _union_find([(a, b, 0.0) for a, b in edges])
+    want = {i: ref.get(i, i) for i in range(n)}
+    # distributed label propagation (driver_threshold=0 forces it) and the
+    # bounded driver fast path must agree exactly
+    for thresh in (0, 10**6):
+        labels = connected_components(pairs_ds, driver_threshold=thresh)
+        got = {
+            r["id"]: r["cluster_id"]
+            for r in assign_clusters(ids_ds, "id", labels).take_all()
+        }
+        assert got == want, f"driver_threshold={thresh}"
+
+
+def test_components_empty_edges(ray_session):
+    import ray.data
+
+    from xhs_ocr_ray.stages.components import assign_clusters, connected_components
+
+    empty = ray.data.from_items([{"a": 1, "b": 2}]).filter(lambda r: False)
+    labels = connected_components(empty)
+    ids_ds = ray.data.from_items([{"id": i} for i in range(5)])
+    got = {
+        r["id"]: r["cluster_id"]
+        for r in assign_clusters(ids_ds, "id", labels).take_all()
+    }
+    assert got == {i: i for i in range(5)}
+
+
 def test_embedding_dedup(ray_session):
     import ray.data
 

@@ -13,14 +13,19 @@
 
 Scale notes (100 TB): every variant pre-computes signatures in one
 vectorized ``map_batches`` pass; only (bucket_key, doc_id, signature) rows —
-not documents — enter the shuffle. Candidate pairs are assumed ≪ corpus size
-(the standard LSH operating point); components run min-label union-find on
-the pairs only. Hot LSH buckets are capped at ``MAX_BUCKET`` docs (salt-free
-truncation with a logged drop count) so one degenerate bucket cannot O(n²)
-a task.
+not documents — enter the shuffle. MinHash signatures spill to parquet (they
+are consumed twice — band explode + pair verification — and must not pin the
+object store at 10^12 docs); candidate pairs stay a distributed Dataset end
+to end: dedup, signature attach, and verification are bucketed shuffles, and
+clustering is distributed min-label propagation
+(:mod:`xhs_ocr_ray.stages.components`) — nothing is ever collected on the
+driver. Hot LSH buckets are capped at ``max_bucket`` docs (truncation with a
+logged drop count) so one degenerate bucket cannot O(n²) a task.
 """
 
 from __future__ import annotations
+
+import logging
 
 import numpy as np
 import pandas as pd
@@ -36,30 +41,30 @@ from xhs_ocr_ray.functions.hashing import (
 
 MAX_BUCKET = 256  # max docs considered per LSH bucket (skew guard)
 
+_LOG = logging.getLogger("xhs_ocr_ray.dedup")
+
+
+def _log_truncation(stage: str, cap: int, n_dropped: int, n_buckets: int) -> None:
+    """The 'no silent caps' duty: every skew-cap drop is surfaced."""
+    if n_dropped:
+        _LOG.warning(
+            "%s: skew cap max_bucket=%d dropped %d docs across %d hot buckets "
+            "(recall reduced; raise max_bucket or salt the key to recover)",
+            stage, cap, n_dropped, n_buckets,
+        )
+
 
 # --------------------------------------------------------------------------
 # Exact dedup
 # --------------------------------------------------------------------------
 
-NUM_KEY_BUCKETS = 256
-
-
-def _add_key_bucket(batch: pa.Table, key_cols: list[str],
-                    num_buckets: int = NUM_KEY_BUCKETS) -> pa.Table:
-    """Coarse stable hash bucket of the key columns (shuffle key).
-
-    The scalable groupby idiom used throughout: shuffle once on ~256 buckets,
-    then do the real per-key work VECTORIZED (pandas) inside each bucket —
-    instead of one Python call per key, which melts at 10^8 keys.
-    """
-    import zlib
-
-    cols = [batch.column(c).to_pylist() for c in key_cols]
-    buckets = [
-        zlib.crc32("\x1f".join(str(v) for v in vals).encode("utf-8")) % num_buckets
-        for vals in zip(*cols)
-    ]
-    return batch.append_column("__kb", pa.array(buckets, pa.int32()))
+# Shared groupby idiom lives in bucketing.py (also used by components/merge/
+# windows); re-exported here for backward compatibility.
+from xhs_ocr_ray.stages.bucketing import (  # noqa: E402
+    NUM_KEY_BUCKETS,
+    _add_key_bucket,
+    default_num_buckets,
+)
 
 
 def exact_dedup(ds, key_cols: list[str], order_col: str):
@@ -81,7 +86,8 @@ def exact_dedup(ds, key_cols: list[str], order_col: str):
 
     return (
         ds.map_batches(_add_key_bucket, batch_format="pyarrow",
-                       fn_kwargs={"key_cols": key_cols})
+                       fn_kwargs={"key_cols": key_cols,
+                                  "num_buckets": default_num_buckets()})
         .groupby("__kb")
         .map_groups(bucket_dedup, batch_format="pandas")
     )
@@ -107,32 +113,126 @@ def _union_find(pairs: list[tuple]) -> dict:
     return {x: find(x) for x in parent}
 
 
+def _arrow_schema(ds) -> pa.Schema:
+    """The pyarrow schema of a Dataset whose blocks are Arrow-backed."""
+    s = ds.schema()
+    base = getattr(s, "base_schema", None)
+    if isinstance(base, pa.Schema):
+        return base
+    return pa.schema(list(zip(s.names, s.types)))
+
+
+def _filler(n: int, dtype: pa.DataType) -> pa.Array:
+    """Type-preserving padding for schema-aligned unions: ZERO values, never
+    nulls (an int64 column with nulls degrades to float64 in pandas and the
+    dtype drift would leak into cluster ids)."""
+    if pa.types.is_integer(dtype) or pa.types.is_floating(dtype):
+        return pa.array(np.zeros(n, dtype=dtype.to_pandas_dtype()))
+    if pa.types.is_string(dtype) or pa.types.is_large_string(dtype):
+        return pa.array([""] * n, dtype)
+    if pa.types.is_binary(dtype) or pa.types.is_large_binary(dtype):
+        return pa.array([b""] * n, dtype)
+    if pa.types.is_list(dtype) or pa.types.is_large_list(dtype):
+        return pa.array([[]] * n, dtype)
+    return pa.nulls(n, dtype)
+
+
+def _bucket_attach(left_ds, key_col: str, right_ds, right_key: str,
+                   val_col: str, out_name: str, *,
+                   left_schema: pa.Schema, val_type: pa.DataType):
+    """Distributed inner hash-join appending ``right[val_col]`` to each left
+    row where ``left[key_col] == right[right_key]`` — one bucketed shuffle,
+    vectorized pandas merge per bucket, no driver collection.
+
+    The two sides union into one schema (each padded with the other's
+    columns via :func:`_filler`) so the join co-locates by key through the
+    repo's standard 256-way bucket groupby. ``left_schema``/``val_type`` are
+    passed explicitly (introspecting a pandas-block Dataset's schema yields
+    Python types, not Arrow types).
+    """
+    left_names = list(left_schema.names)
+    left_types = {f.name: f.type for f in left_schema}
+
+    def tag_left(b: pa.Table) -> pa.Table:
+        cols = {n: b.column(n) for n in left_names}
+        cols["__jk"] = b.column(key_col)
+        cols[out_name] = _filler(b.num_rows, val_type)
+        cols["__side"] = pa.array(np.zeros(b.num_rows, dtype=np.int8))
+        return pa.table(cols)
+
+    def tag_right(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        cols = {name: _filler(n, left_types[name]) for name in left_names}
+        cols["__jk"] = b.column(right_key)
+        cols[out_name] = b.column(val_col)
+        cols["__side"] = pa.array(np.ones(n, dtype=np.int8))
+        return pa.table(cols)
+
+    def join_bucket(chunk: pd.DataFrame) -> pd.DataFrame:
+        left = chunk[chunk["__side"] == 0].drop(columns=[out_name, "__side", "__kb"])
+        right = chunk[chunk["__side"] == 1][["__jk", out_name]]
+        return left.merge(right, on="__jk", how="inner").drop(columns=["__jk"])
+
+    return (
+        left_ds.map_batches(tag_left, batch_format="pyarrow")
+        .union(right_ds.map_batches(tag_right, batch_format="pyarrow"))
+        .map_batches(_add_key_bucket, batch_format="pyarrow",
+                     fn_kwargs={"key_cols": ["__jk"],
+                                "num_buckets": default_num_buckets()})
+        .groupby("__kb")
+        .map_groups(join_bucket, batch_format="pandas")
+    )
+
+
 def minhash_lsh_dedup(ds, text_col: str, id_col: str, *, num_perm: int = 64,
-                      bands: int = 16, shingle_k: int = 5, threshold: float = 0.7):
+                      bands: int = 16, shingle_k: int = 5, threshold: float = 0.7,
+                      max_bucket: int = MAX_BUCKET,
+                      sig_spill_dir: str | None = None):
     """Near-dup clusters: returns a Dataset ``(id_col, cluster_id)`` where
     ``cluster_id`` is the smallest member id of the duplicate cluster
     (singletons map to themselves).
 
-    Partitioning assumption: candidate pairs fit on the driver (LSH operating
-    point); everything before pair collection is distributed.
+    Fully distributed (no driver materialization anywhere): signatures spill
+    to parquet (consumed twice — band explode and pair verification), the
+    candidate-pair set stays a Dataset through dedup → signature attach →
+    verification, and clustering is min-label propagation
+    (:func:`xhs_ocr_ray.stages.components.connected_components`).
     """
-    import ray
+    import os
+    import tempfile
+    import uuid
+
+    import ray.data
+
+    from xhs_ocr_ray.stages.components import assign_clusters, connected_components
 
     a_coef, b_coef = minhash_permutations(num_perm)
     rows_per_band = num_perm // bands
+    nb = default_num_buckets()  # resolved ONCE on the driver per run
 
     def sig_rows(batch: pa.Table) -> pa.Table:
         """(id, sig) — ONE row per document; signatures never enter the
-        band shuffle (16× lighter than attaching sig to every band row)."""
-        ids = batch.column(id_col).to_pylist()
+        band shuffle (16× lighter than attaching sig to every band row).
+        Stored as raw BYTES (num_perm × uint64-LE): a plain binary column
+        shuffles cleanly — a fixed-length list column would be promoted to
+        a Ray tensor-extension type that breaks block normalization."""
         texts = batch.column(text_col).to_pylist()
         sigs = [
-            minhash_signature(shingles(t or "", shingle_k), a_coef, b_coef).tolist()
+            minhash_signature(shingles(t or "", shingle_k), a_coef, b_coef).tobytes()
             for t in texts
         ]
         return pa.table(
-            {id_col: batch.column(id_col), "sig": pa.array(sigs, pa.list_(pa.uint64()))}
+            {id_col: batch.column(id_col), "sig": pa.array(sigs, pa.binary())}
         )
+
+    # Spill signatures to parquet: they are read twice, and at 10^12 docs a
+    # .materialize() would pin num_perm×8 B/doc in the object store.
+    spill = sig_spill_dir or os.path.join(
+        tempfile.gettempdir(), "xhs_sig_spill", uuid.uuid4().hex
+    )
+    ds.map_batches(sig_rows, batch_format="pyarrow",
+                   batch_size=256).write_parquet(spill)
+    sig_ds = ray.data.read_parquet(spill)
 
     def band_rows(batch: pa.Table) -> pa.Table:
         """(band_key, kb, id) — narrow rows for the candidate shuffle."""
@@ -141,7 +241,7 @@ def minhash_lsh_dedup(ds, text_col: str, id_col: str, *, num_perm: int = 64,
         out_band: list[int] = []
         out_id: list = []
         for i, sig in zip(ids, sigs):
-            arr = np.asarray(sig, dtype=np.uint64)
+            arr = np.frombuffer(sig, dtype=np.uint64)
             for b in range(bands):
                 chunk = arr[b * rows_per_band : (b + 1) * rows_per_band]
                 out_band.append(stable_hash64(bytes([b]) + chunk.tobytes()))
@@ -150,7 +250,7 @@ def minhash_lsh_dedup(ds, text_col: str, id_col: str, *, num_perm: int = 64,
         return pa.table(
             {
                 "band_key": pa.array(bk),
-                "__kb": pa.array((bk % NUM_KEY_BUCKETS).astype("int32")),
+                "__kb": pa.array((bk % nb).astype("int32")),
                 id_col: pa.array(out_id),
             }
         )
@@ -159,77 +259,85 @@ def minhash_lsh_dedup(ds, text_col: str, id_col: str, *, num_perm: int = 64,
         """Unique candidate pairs per 256-way bucket (no verification here —
         pairs are verified once, not once per colliding band)."""
         seen: set[tuple] = set()
+        n_dropped = n_hot = 0
         sizes = chunk.groupby("band_key")["band_key"].transform("size")
         for _, group in chunk[sizes >= 2].groupby("band_key"):
-            ids = sorted(group[id_col].tolist()[:MAX_BUCKET])
+            ids_full = group[id_col].tolist()
+            if len(ids_full) > max_bucket:
+                n_dropped += len(ids_full) - max_bucket
+                n_hot += 1
+            ids = sorted(ids_full[:max_bucket])
             for i in range(len(ids)):
                 for j in range(i + 1, len(ids)):
                     seen.add((ids[i], ids[j]))
+        _log_truncation("minhash_lsh_dedup", max_bucket, n_dropped, n_hot)
         if not seen:
-            return pd.DataFrame({"a": [], "b": []})
+            # preserve the id dtype in empty frames (a float64 empty block
+            # would poison downstream schema unification)
+            empty = chunk[id_col].iloc[:0]
+            return pd.DataFrame({"a": empty, "b": empty})
         arr = list(zip(*sorted(seen)))
         return pd.DataFrame({"a": arr[0], "b": arr[1]})
 
-    # sig_ds is consumed twice (band explode + verification fetch);
-    # materialize to avoid recomputing signatures. Sigs are num_perm×8B per
-    # doc — at 10^12 docs you would write them to parquet instead of pinning.
-    sig_ds = ds.map_batches(sig_rows, batch_format="pyarrow", batch_size=256).materialize()
-    cand_df = (
+    cand = (
         sig_ds.map_batches(band_rows, batch_format="pyarrow")
         .groupby("__kb")
         .map_groups(coarse_candidates, batch_format="pandas")
-        .to_pandas()
-        .drop_duplicates()  # same pair can surface from several __kb buckets
+        # same pair can surface from several band buckets → distributed dedup
+        .map_batches(_add_key_bucket, batch_format="pyarrow",
+                     fn_kwargs={"key_cols": ["a", "b"],
+                                "num_buckets": default_num_buckets()})
+        .groupby("__kb")
+        .map_groups(
+            lambda c: c.drop(columns="__kb").drop_duplicates(),
+            batch_format="pandas",
+        )
     )
 
-    # One vectorized verification pass: fetch only the involved signatures
-    # (assumed driver-small — the LSH operating point; at larger candidate
-    # volumes this becomes a hash join on id instead).
-    pairs: list[tuple] = []
-    if len(cand_df):
-        involved = set(cand_df["a"]).union(cand_df["b"])
-        inv_ref = ray.put(involved)
+    # Verification: attach both signatures by bucketed join, compare
+    # vectorized per batch — pairs never leave the cluster.
+    id_type = {f.name: f.type for f in _arrow_schema(ds)}[id_col]
+    pair_schema = pa.schema([("a", id_type), ("b", id_type)])
+    with_a = _bucket_attach(cand, "a", sig_ds, id_col, "sig", "sig_a",
+                            left_schema=pair_schema, val_type=pa.binary())
+    with_ab = _bucket_attach(
+        with_a, "b", sig_ds, id_col, "sig", "sig_b",
+        left_schema=pair_schema.append(pa.field("sig_a", pa.binary())),
+        val_type=pa.binary(),
+    )
 
-        def keep_involved(batch: pa.Table) -> pa.Table:
-            want = ray.get(inv_ref)
-            mask = [i in want for i in batch.column(id_col).to_pylist()]
-            return batch.filter(pa.array(mask))
-
-        kept = sig_ds.map_batches(keep_involved, batch_format="pyarrow").take_all()
-        uniq = [r[id_col] for r in kept]
-        index = {v: i for i, v in enumerate(uniq)}
-        sig_mat = np.array([r["sig"] for r in kept], dtype=np.uint64)
-        ia = cand_df["a"].map(index).to_numpy(dtype=np.int64)
-        ib = cand_df["b"].map(index).to_numpy(dtype=np.int64)
-        a_vals = cand_df["a"].to_numpy()
-        b_vals = cand_df["b"].to_numpy()
-        chunk_sz = 200_000  # bound the (chunk × num_perm) compare matrices
-        for s in range(0, len(ia), chunk_sz):
-            est = (sig_mat[ia[s : s + chunk_sz]] == sig_mat[ib[s : s + chunk_sz]]).mean(axis=1)
-            for k in np.nonzero(est >= threshold)[0]:
-                i = s + int(k)
-                pairs.append((a_vals[i], b_vals[i], float(est[k])))
-    labels = _union_find(pairs)
-
-    def assign(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_pylist()
+    def verify(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"a": batch.column("a"), "b": batch.column("b")})
+        sa = np.frombuffer(
+            b"".join(batch.column("sig_a").to_pylist()), dtype=np.uint64
+        ).reshape(batch.num_rows, num_perm)
+        sb = np.frombuffer(
+            b"".join(batch.column("sig_b").to_pylist()), dtype=np.uint64
+        ).reshape(batch.num_rows, num_perm)
+        est = (sa == sb).mean(axis=1)
+        keep = pa.array(est >= threshold)
         return pa.table(
-            {
-                id_col: batch.column(id_col),
-                "cluster_id": pa.array([labels.get(i, i) for i in ids]),
-            }
+            {"a": batch.column("a").filter(keep), "b": batch.column("b").filter(keep)}
         )
 
-    return ds.map_batches(assign, batch_format="pyarrow")
+    edges = with_ab.map_batches(verify, batch_format="pyarrow")
+    labels = connected_components(edges)
+    return assign_clusters(ds, id_col, labels)
 
 
 # --------------------------------------------------------------------------
 # SimHash near dedup
 # --------------------------------------------------------------------------
 
-def simhash_dedup(ds, text_col: str, id_col: str, *, max_hamming: int = 3):
+def simhash_dedup(ds, text_col: str, id_col: str, *, max_hamming: int = 3,
+                  max_bucket: int = MAX_BUCKET):
     """Near-dup clusters by 64-bit SimHash; 4×16-bit band buckets guarantee
-    recall for hamming ≤ 3 (pigeonhole over 4 bands)."""
+    recall for hamming ≤ 3 (pigeonhole over 4 bands). Pairs and clustering
+    stay distributed (min-label propagation, no driver collection)."""
+    from xhs_ocr_ray.stages.components import assign_clusters, connected_components
+
+    nb = default_num_buckets()  # resolved ONCE on the driver per run
 
     def sig_rows(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_pylist()
@@ -252,46 +360,43 @@ def simhash_dedup(ds, text_col: str, id_col: str, *, max_hamming: int = 3):
 
     def coarse_pairs(chunk: pd.DataFrame) -> pd.DataFrame:
         out = []
+        n_dropped = n_hot = 0
         sizes = chunk.groupby("band_key")["band_key"].transform("size")
         for _, group in chunk[sizes >= 2].groupby("band_key"):
-            ids = group[id_col].tolist()[:MAX_BUCKET]
-            sigs = group["sig"].tolist()[:MAX_BUCKET]
+            if len(group) > max_bucket:
+                n_dropped += len(group) - max_bucket
+                n_hot += 1
+            ids = group[id_col].tolist()[:max_bucket]
+            sigs = group["sig"].tolist()[:max_bucket]
             for i in range(len(ids)):
                 for j in range(i + 1, len(ids)):
                     d = bin(int(sigs[i]) ^ int(sigs[j])).count("1")
                     if d <= max_hamming:
                         a, b = ids[i], ids[j]
-                        out.append((min(a, b), max(a, b), float(d)))
+                        out.append((min(a, b), max(a, b)))
+        _log_truncation("simhash_dedup", max_bucket, n_dropped, n_hot)
         if not out:
-            return pd.DataFrame({"a": [], "b": [], "est": []})
+            empty = chunk[id_col].iloc[:0]
+            return pd.DataFrame({"a": empty, "b": empty})
         arr = list(zip(*out))
-        return pd.DataFrame({"a": arr[0], "b": arr[1], "est": arr[2]})
+        return pd.DataFrame({"a": arr[0], "b": arr[1]})
 
     pair_ds = (
         ds.map_batches(sig_rows, batch_format="pyarrow", batch_size=1024)
         .map_batches(
             lambda b: b.append_column(
                 "__kb", pa.array((b.column("band_key").to_numpy(zero_copy_only=False)
-                                  % NUM_KEY_BUCKETS).astype("int32"))
+                                  % nb).astype("int32"))
             ),
             batch_format="pyarrow",
         )
         .groupby("__kb")
         .map_groups(coarse_pairs, batch_format="pandas")
     )
-    pairs = [(r["a"], r["b"], r["est"]) for r in pair_ds.take_all()]
-    labels = _union_find(pairs)
-
-    def assign(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_pylist()
-        return pa.table(
-            {
-                id_col: batch.column(id_col),
-                "cluster_id": pa.array([labels.get(i, i) for i in ids]),
-            }
-        )
-
-    return ds.map_batches(assign, batch_format="pyarrow")
+    # duplicate pairs across band buckets are harmless to min-label
+    # propagation — no dedup shuffle needed before clustering.
+    labels = connected_components(pair_ds)
+    return assign_clusters(ds, id_col, labels)
 
 
 # --------------------------------------------------------------------------
@@ -299,7 +404,8 @@ def simhash_dedup(ds, text_col: str, id_col: str, *, max_hamming: int = 3):
 # --------------------------------------------------------------------------
 
 def ngram_jaccard_pairs(ds, text_col: str, id_col: str, block_cols: list[str],
-                        *, n: int = 3, threshold: float = 0.5):
+                        *, n: int = 3, threshold: float = 0.5,
+                        max_bucket: int = MAX_BUCKET):
     """Exact word-n-gram Jaccard over pairs that share a blocking key.
 
     The blocking key bounds the quadratic comparison (docs sharing e.g.
@@ -320,7 +426,10 @@ def ngram_jaccard_pairs(ds, text_col: str, id_col: str, block_cols: list[str],
         return pd.concat(outs, ignore_index=True)
 
     def block_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        rows = group.head(MAX_BUCKET)
+        if len(group) > max_bucket:
+            _log_truncation("ngram_jaccard_pairs", max_bucket,
+                            len(group) - max_bucket, 1)
+        rows = group.head(max_bucket)
         ids = rows[id_col].tolist()
         grams = []
         for t in rows[text_col].tolist():
@@ -343,7 +452,8 @@ def ngram_jaccard_pairs(ds, text_col: str, id_col: str, block_cols: list[str],
 
     return (
         ds.map_batches(_add_key_bucket, batch_format="pyarrow",
-                       fn_kwargs={"key_cols": block_cols})
+                       fn_kwargs={"key_cols": block_cols,
+                                  "num_buckets": default_num_buckets()})
         .groupby("__kb")
         .map_groups(coarse_blocks, batch_format="pandas")
     )
@@ -354,13 +464,18 @@ def ngram_jaccard_pairs(ds, text_col: str, id_col: str, block_cols: list[str],
 # --------------------------------------------------------------------------
 
 def embedding_dedup(ds, vec_col: str, id_col: str, *, threshold: float = 0.95,
-                    num_planes: int = 12, seed: int = 7):
+                    num_planes: int = 12, seed: int = 7,
+                    max_bucket: int = MAX_BUCKET):
     """Near-dup clusters over an embedding column via random-hyperplane LSH.
 
     Vectors are L2-normalized; bucket = sign pattern under ``num_planes``
     fixed hyperplanes; exact cosine verifies within-bucket pairs. Recall is
     probabilistic (single table) — the scale path would OR several tables.
+    Pairs and clustering stay distributed (min-label propagation).
     """
+    from xhs_ocr_ray.stages.components import assign_clusters, connected_components
+
+    nb = default_num_buckets()  # resolved ONCE on the driver per run
     planes: np.ndarray | None = None  # lazily sized from the first batch
 
     def sig_rows(batch: pa.Table) -> pa.Table:
@@ -390,44 +505,39 @@ def embedding_dedup(ds, vec_col: str, id_col: str, *, threshold: float = 0.95,
 
     def coarse_pairs(chunk: pd.DataFrame) -> pd.DataFrame:
         out = []
+        n_dropped = n_hot = 0
         sizes = chunk.groupby("bucket")["bucket"].transform("size")
         for _, group in chunk[sizes >= 2].groupby("bucket"):
-            rows = group.head(MAX_BUCKET)
+            if len(group) > max_bucket:
+                n_dropped += len(group) - max_bucket
+                n_hot += 1
+            rows = group.head(max_bucket)
             ids = rows[id_col].tolist()
             mat = np.stack([np.asarray(v, dtype=np.float32) for v in rows["vec"]])
             sims = mat @ mat.T
             idx_a, idx_b = np.triu_indices(len(ids), k=1)
             hits = sims[idx_a, idx_b] >= threshold
-            for i, j, s in zip(idx_a[hits], idx_b[hits], sims[idx_a, idx_b][hits]):
+            for i, j in zip(idx_a[hits], idx_b[hits]):
                 a, b = ids[i], ids[j]
-                out.append((min(a, b), max(a, b), float(s)))
+                out.append((min(a, b), max(a, b)))
+        _log_truncation("embedding_dedup", max_bucket, n_dropped, n_hot)
         if not out:
-            return pd.DataFrame({"a": [], "b": [], "cosine": []})
+            empty = chunk[id_col].iloc[:0]
+            return pd.DataFrame({"a": empty, "b": empty})
         arr = list(zip(*out))
-        return pd.DataFrame({"a": arr[0], "b": arr[1], "cosine": arr[2]})
+        return pd.DataFrame({"a": arr[0], "b": arr[1]})
 
     pair_ds = (
         ds.map_batches(sig_rows, batch_format="pyarrow", batch_size=1024)
         .map_batches(
             lambda b: b.append_column(
                 "__kb", pa.array((b.column("bucket").to_numpy(zero_copy_only=False)
-                                  % NUM_KEY_BUCKETS).astype("int32"))
+                                  % nb).astype("int32"))
             ),
             batch_format="pyarrow",
         )
         .groupby("__kb")
         .map_groups(coarse_pairs, batch_format="pandas")
     )
-    pairs = [(r["a"], r["b"], r["cosine"]) for r in pair_ds.take_all()]
-    labels = _union_find(pairs)
-
-    def assign(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_pylist()
-        return pa.table(
-            {
-                id_col: batch.column(id_col),
-                "cluster_id": pa.array([labels.get(i, i) for i in ids]),
-            }
-        )
-
-    return ds.map_batches(assign, batch_format="pyarrow")
+    labels = connected_components(pair_ds)
+    return assign_clusters(ds, id_col, labels)

@@ -109,11 +109,12 @@ def related_merge(tables: list, key_cols: list[str]):
         out[value_cols] = out[value_cols].fillna("")
         return out
 
-    from xhs_ocr_ray.stages.dedup import _add_key_bucket
+    from xhs_ocr_ray.stages.dedup import _add_key_bucket, default_num_buckets
 
     return (
         unioned.map_batches(_add_key_bucket, batch_format="pyarrow",
-                            fn_kwargs={"key_cols": key_cols})
+                            fn_kwargs={"key_cols": key_cols,
+                                       "num_buckets": default_num_buckets()})
         .groupby("__kb")
         .map_groups(
             lambda c: coalesce_bucket(c.drop(columns="__kb")),
@@ -131,7 +132,7 @@ def related_key_count(tables: list, key_cols: list[str]):
     for t in aligned[1:]:
         unioned = unioned.union(t)
 
-    from xhs_ocr_ray.stages.dedup import _add_key_bucket
+    from xhs_ocr_ray.stages.dedup import _add_key_bucket, default_num_buckets
 
     def bucket_counts(chunk: pd.DataFrame) -> pd.DataFrame:
         per_key = chunk.groupby(key_cols, sort=False)[_SRC_COL].nunique()
@@ -139,15 +140,20 @@ def related_key_count(tables: list, key_cols: list[str]):
 
     per_bucket = (
         unioned.map_batches(_add_key_bucket, batch_format="pyarrow",
-                            fn_kwargs={"key_cols": key_cols})
+                            fn_kwargs={"key_cols": key_cols,
+                                       "num_buckets": default_num_buckets()})
         .groupby("__kb")
         .map_groups(bucket_counts, batch_format="pandas")
     )
     return int(sum(r["n_multi"] for r in per_bucket.take_all()))
 
 
+BROADCAST_MAX_ROWS = 5_000_000  # small-side guard: ~hundreds of MB of keys
+
+
 def broadcast_join(big_ds, small_ds, on: str, select: dict[str, str],
-                   how: str = "inner", right_on: str | None = None):
+                   how: str = "inner", right_on: str | None = None,
+                   max_rows: int = BROADCAST_MAX_ROWS):
     """Broadcast hash join: the small side is ``ray.put`` once and looked up
     inside every ``map_batches`` task — no shuffle (SURVEY.md §2.5 J3, the
     sidecar-lookup analog; also the semi/anti-join building block).
@@ -162,7 +168,16 @@ def broadcast_join(big_ds, small_ds, on: str, select: dict[str, str],
     import pandas as pd
     import ray
 
-    small_df = small_ds.to_pandas().set_index(right_on or on)
+    try:
+        small_df = small_ds.to_pandas(limit=max_rows)
+    except ValueError as exc:
+        raise ValueError(
+            f"broadcast_join: small side exceeds {max_rows} rows — it would "
+            "materialize on the driver. Use a shuffle join (bucketed "
+            "groupby, e.g. related_merge / _bucket_attach) instead, or "
+            "raise max_rows explicitly if the driver can hold it."
+        ) from exc
+    small_df = small_df.set_index(right_on or on)
     small_df = small_df[~small_df.index.duplicated(keep="first")]
     small_ref = ray.put(small_df)
 

@@ -21,7 +21,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from xhs_ocr_ray.stages.dedup import _add_key_bucket
+from xhs_ocr_ray.stages.dedup import _add_key_bucket, default_num_buckets
 
 
 def sessionize(ds, key_col: str, ts_col: str, gap_us: int,
@@ -61,7 +61,8 @@ def sessionize(ds, key_col: str, ts_col: str, gap_us: int,
 
     return (
         ds.map_batches(_add_key_bucket, batch_format="pyarrow",
-                       fn_kwargs={"key_cols": [key_col]})
+                       fn_kwargs={"key_cols": [key_col],
+                                  "num_buckets": default_num_buckets()})
         .groupby("__kb")
         .map_groups(bucket_sessions, batch_format="pandas")
     )
@@ -77,16 +78,18 @@ def hopping_counts(ds, key_col: str, ts_col: str, *, window_us: int,
     n_windows = max(1, window_us // slide_us)
 
     def explode(batch: pa.Table) -> pa.Table:
+        """Fully vectorized event→window explode: np.repeat each event
+        n_windows times, subtract a tiled offset ramp, mask w < 0."""
         ts = batch.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
-        keys = batch.column(key_col).to_pylist()
-        last = ts // slide_us
-        out_key, out_w = [], []
-        for k, hi in zip(keys, last):
-            for w in range(hi - n_windows + 1, hi + 1):
-                if w >= 0:
-                    out_key.append(k)
-                    out_w.append(w)
-        df = pd.DataFrame({key_col: out_key, "window_id": out_w})
+        keys = np.asarray(batch.column(key_col).to_pylist(), dtype=object)
+        hi = ts // slide_us
+        w = np.repeat(hi, n_windows) - np.tile(
+            np.arange(n_windows, dtype=np.int64), len(hi)
+        )
+        mask = w >= 0
+        df = pd.DataFrame(
+            {key_col: np.repeat(keys, n_windows)[mask], "window_id": w[mask]}
+        )
         agg = df.groupby([key_col, "window_id"], sort=False).size().reset_index(name="n")
         return pa.Table.from_pandas(agg, preserve_index=False)
 

@@ -126,9 +126,9 @@ def test_bucketize_idempotent(staged_run, tmp_path):
 def test_quarantine_rows_kept(ray_session):
     out = extract_dataset(_golden_pages_ds(), library=GOLDEN_PROFILES).to_pandas()
     statuses = out.set_index(out["url"].map(golden_key))["status"]
-    assert statuses["pdf-stub"] == "unsupported_payload"
+    assert statuses["pdf-broken"] == "failed_parse"
     assert statuses["empty"] == "failed_all_profiles"
-    assert (statuses.drop(["pdf-stub", "empty"]) == "ok").all()
+    assert (statuses.drop(["pdf-broken", "empty"]) == "ok").all()
 
 
 def test_oversized_rows_routed_and_extracted(tmp_path, ray_session):

@@ -12,10 +12,13 @@ Payload routing per row (the engine-selection analog of GetOcrApi,
 ppocr_api.py:322-338):
 
 - ``%LAYOUT1\\n`` + JSON text boxes → layout path: reading-order + paragraph
-  assembly via the tbpu-analog parsers (``xhs_ocr_ray.layout``) — this is the
-  PDF/layout-parse stand-in with real plumbing;
-- ``%PDF`` → STUB: real PDF decode libraries are not in this container; rows
-  get ``status='unsupported_payload'`` (deterministic, kept for lineage);
+  assembly via the tbpu-analog parsers (``xhs_ocr_ray.layout``);
+- ``%PDF`` → pure-Python PDF decode (``xhs_ocr_ray.pdf``): object scan,
+  Flate inflate, BT/ET text-operator interpretation with positions; the
+  positioned blocks feed the SAME layout parsers as the %LAYOUT1 path (the
+  analog of the reference's OCR engine emitting ``[{box, score, text}]``,
+  core/ppocr_api.py:100-111). Undecodable PDFs are quarantined row-local as
+  ``status='failed_parse'`` and kept for lineage;
 - anything else → HTML path: profile-masked main-content extraction with the
   per-document fallback loop (``xhs_ocr_ray.profiles``).
 """
@@ -31,6 +34,7 @@ import pyarrow as pa
 from xhs_ocr_ray.functions.normalize import canonical_doc_class
 from xhs_ocr_ray.layout.paragraph import render as render_blocks
 from xhs_ocr_ray.layout.parsers import get_parser
+from xhs_ocr_ray.pdf import extract_pdf_blocks
 from xhs_ocr_ray.profiles import (
     DEFAULT_PROFILE,
     ExtractionResult,
@@ -112,8 +116,16 @@ class ExtractorEngine:
             pid = profs[0].profile_id if profs else DEFAULT_PROFILE.profile_id
             return ExtractionResult(text, None, pid, "ok")
         if payload.startswith(PDF_MAGIC):
-            # STUB: no PDF decoder in this container (see module docstring).
-            return ExtractionResult(None, None, -1, "unsupported_payload")
+            blocks = extract_pdf_blocks(payload)
+            if not blocks:
+                return ExtractionResult(None, None, -1, "failed_parse")
+            profs = self.library.for_class(dc)
+            parser_name = profs[0].layout_parser if profs else self.default_layout_parser
+            text = render_blocks(get_parser(parser_name)(blocks))
+            if not text:
+                return ExtractionResult(None, None, -1, "failed_parse")
+            pid = profs[0].profile_id if profs else DEFAULT_PROFILE.profile_id
+            return ExtractionResult(text, None, pid, "ok")
         return extract_with_profiles(payload, self.library.for_class(dc), self.compiled)
 
     # -- batch entry -------------------------------------------------------

@@ -1,0 +1,353 @@
+"""Pure-Python PDF text extraction (stdlib only — no PDF libs in the env).
+
+The payload-decode analog of the reference's OCR engine turning pixels into
+positioned text blocks (core/ppocr_api.py:100-111 returns ``[{box, score,
+text}]``): here a PDF byte payload is decoded into the SAME block shape and
+fed to the tbpu-analog layout parsers (``xhs_ocr_ray.layout``), completing
+the "PDF/layout parse for binary payloads" path of the north rule.
+
+Scope (documented, deliberate):
+
+- object discovery by tolerant ``N G obj … endobj`` scan — works with or
+  without a valid xref table (crawled PDFs are routinely truncated);
+- stream filters: none and ``/FlateDecode`` (stdlib zlib, with raw-deflate
+  and truncated-tail fallbacks); other filters (DCT, LZW, …) are skipped;
+- text operators: BT/ET, Tf, TL, Tm, Td, TD, T*, Tj, ', ", TJ;
+- strings: literal ``(…)`` with nesting/escapes/octal and hex ``<…>``,
+  decoded as Latin-1 (correct for the Standard/WinAnsi encodings in the
+  ASCII range; CMap/ToUnicode composite fonts are out of scope);
+- positions: the text matrix is tracked as (x, y) translation + font size;
+  PDF's bottom-left origin is flipped to the top-left coordinates the
+  layout parsers expect, and successive pages stack vertically with a gap
+  so one document renders as one continuous flow.
+
+Everything degrades row-local: any malformed structure returns ``None`` and
+the engine quarantines the row as ``failed_parse`` (never raises).
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+DEFAULT_PAGE_HEIGHT = 792.0
+PAGE_GAP = 50.0
+CHAR_WIDTH_EM = 0.6  # Helvetica-ish average advance per char (in em)
+
+_OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b(.*?)endobj", re.DOTALL)
+_STREAM_RE = re.compile(rb"stream\r?\n(.*?)\s*endstream", re.DOTALL)
+_TYPE_PAGE_RE = re.compile(rb"/Type\s*/Page(?![a-zA-Z])")
+_TYPE_PAGES_RE = re.compile(rb"/Type\s*/Pages(?![a-zA-Z])")
+_CONTENTS_REF_RE = re.compile(rb"/Contents\s+(\d+)\s+\d+\s+R")
+_CONTENTS_ARR_RE = re.compile(rb"/Contents\s*\[((?:\s*\d+\s+\d+\s+R)+)\s*\]")
+_REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
+_KIDS_RE = re.compile(rb"/Kids\s*\[((?:\s*\d+\s+\d+\s+R)+)\s*\]")
+_FLATE_RE = re.compile(rb"/Filter\s*(?:\[\s*)?/FlateDecode")
+_OTHER_FILTER_RE = re.compile(
+    rb"/Filter\s*(?:\[\s*)?/(?!FlateDecode)[A-Za-z0-9]+"
+)
+_MEDIABOX_RE = re.compile(
+    rb"/MediaBox\s*\[\s*([\d.+-]+)\s+([\d.+-]+)\s+([\d.+-]+)\s+([\d.+-]+)\s*\]"
+)
+
+_NUM_RE = re.compile(rb"[+-]?(?:\d+\.?\d*|\.\d+)")
+_OP_RE = re.compile(rb"[A-Za-z'\"][A-Za-z0-9*'\"]*")
+
+
+def _inflate(data: bytes) -> bytes | None:
+    """zlib with fallbacks: whole-stream, raw deflate, truncated tail."""
+    for wbits in (zlib.MAX_WBITS, -zlib.MAX_WBITS):
+        try:
+            return zlib.decompress(data, wbits)
+        except zlib.error:
+            try:
+                d = zlib.decompressobj(wbits)
+                out = d.decompress(data)
+                if out:
+                    return out
+            except zlib.error:
+                continue
+    return None
+
+
+def _scan_literal(data: bytes, i: int) -> tuple[bytes, int]:
+    """Scan a ``(…)`` literal string starting at ``i`` (at the '(')."""
+    out = bytearray()
+    depth = 1
+    i += 1
+    n = len(data)
+    while i < n:
+        c = data[i]
+        if c == 0x5C:  # backslash
+            i += 1
+            if i >= n:
+                break
+            e = data[i]
+            if e in b"nrtbf":
+                out.append({0x6E: 10, 0x72: 13, 0x74: 9, 0x62: 8, 0x66: 12}[e])
+            elif e in b"()\\":
+                out.append(e)
+            elif 0x30 <= e <= 0x37:  # octal, up to 3 digits
+                oct_digits = [e]
+                for _ in range(2):
+                    if i + 1 < n and 0x30 <= data[i + 1] <= 0x37:
+                        i += 1
+                        oct_digits.append(data[i])
+                out.append(int(bytes(oct_digits), 8) & 0xFF)
+            elif e in b"\r\n":  # line continuation
+                if e == 0x0D and i + 1 < n and data[i + 1] == 0x0A:
+                    i += 1
+            else:
+                out.append(e)
+        elif c == 0x28:
+            depth += 1
+            out.append(c)
+        elif c == 0x29:
+            depth -= 1
+            if depth == 0:
+                return bytes(out), i + 1
+            out.append(c)
+        else:
+            out.append(c)
+        i += 1
+    return bytes(out), i  # unterminated: keep what we have
+
+
+def _scan_hex(data: bytes, i: int) -> tuple[bytes, int]:
+    """Scan a ``<…>`` hex string starting at ``i`` (at the '<')."""
+    j = data.find(b">", i + 1)
+    if j < 0:
+        j = len(data)
+    digits = re.sub(rb"[^0-9A-Fa-f]", b"", data[i + 1 : j])
+    if len(digits) % 2:
+        digits += b"0"
+    try:
+        return bytes.fromhex(digits.decode("ascii")), j + 1
+    except ValueError:
+        return b"", j + 1
+
+
+def _tokenize(content: bytes):
+    """Yield ('str', bytes) / ('num', float) / ('name', str) / ('op', str) /
+    ('[',) / (']',) tokens from a content stream. Inline images (BI…EI) and
+    dictionaries are skipped."""
+    i, n = 0, len(content)
+    while i < n:
+        c = content[i]
+        if c in b" \t\r\n\x00\x0c":
+            i += 1
+            continue
+        if c == 0x25:  # % comment to EOL
+            j = content.find(b"\n", i)
+            i = n if j < 0 else j + 1
+            continue
+        if c == 0x28:
+            s, i = _scan_literal(content, i)
+            yield ("str", s)
+            continue
+        if c == 0x3C:
+            if content[i : i + 2] == b"<<":  # dict: skip to matching >>
+                depth = 1
+                i += 2
+                while i < n and depth:
+                    if content[i : i + 2] == b"<<":
+                        depth += 1
+                        i += 2
+                    elif content[i : i + 2] == b">>":
+                        depth -= 1
+                        i += 2
+                    else:
+                        i += 1
+                continue
+            s, i = _scan_hex(content, i)
+            yield ("str", s)
+            continue
+        if c == 0x5B:
+            yield ("[",)
+            i += 1
+            continue
+        if c == 0x5D:
+            yield ("]",)
+            i += 1
+            continue
+        if c == 0x2F:  # /Name
+            m = re.match(rb"/[^\s/<>\[\]()%]*", content[i:])
+            yield ("name", m.group(0)[1:].decode("latin-1"))
+            i += m.end()
+            continue
+        m = _NUM_RE.match(content, i)
+        if m and (c in b"+-.0123456789"):
+            yield ("num", float(m.group(0)))
+            i = m.end()
+            continue
+        m = _OP_RE.match(content, i)
+        if m:
+            op = m.group(0).decode("latin-1")
+            if op == "BI":  # inline image: skip to EI
+                j = content.find(b"EI", i)
+                i = n if j < 0 else j + 2
+                continue
+            yield ("op", op)
+            i = m.end()
+            continue
+        i += 1  # unknown byte: tolerate
+
+
+def _page_text_blocks(content: bytes, page_h: float, y_off: float) -> list[dict]:
+    """Interpret one page's content stream into positioned text blocks."""
+    blocks: list[dict] = []
+    fs = 12.0
+    leading = 0.0
+    line_x = line_y = 0.0
+    cur_x = cur_y = 0.0
+    stack: list = []
+
+    def emit(raw: bytes) -> None:
+        nonlocal cur_x
+        text = raw.decode("latin-1")
+        # floor at 1 em: a box taller than wide would fool the layout
+        # preprocessor's long-edge rotation estimate
+        w = max(CHAR_WIDTH_EM * fs * len(text), fs)
+        if text.strip():
+            y_top = y_off + (page_h - cur_y) - fs
+            blocks.append(
+                {
+                    "box": [[cur_x, y_top], [cur_x + w, y_top],
+                            [cur_x + w, y_top + fs], [cur_x, y_top + fs]],
+                    "score": 1.0,
+                    "text": text,
+                }
+            )
+        cur_x += w
+
+    def newline() -> None:
+        nonlocal line_y, cur_x, cur_y
+        line_y -= leading
+        cur_x, cur_y = line_x, line_y
+
+    arr: list | None = None
+    for tok in _tokenize(content):
+        kind = tok[0]
+        if kind == "[":
+            arr = []
+            continue
+        if kind == "]":
+            stack.append(arr or [])
+            arr = None
+            continue
+        if kind in ("str", "num", "name"):
+            (arr if arr is not None else stack).append(tok[1])
+            continue
+        op = tok[1]
+        if op == "BT":
+            line_x = line_y = cur_x = cur_y = 0.0
+        elif op == "Tf" and stack:
+            if isinstance(stack[-1], float):
+                fs = stack[-1] or fs
+        elif op == "TL" and stack:
+            if isinstance(stack[-1], float):
+                leading = stack[-1]
+        elif op == "Tm" and len(stack) >= 6:
+            e, f = stack[-2], stack[-1]
+            if isinstance(e, float) and isinstance(f, float):
+                line_x = cur_x = e
+                line_y = cur_y = f
+        elif op in ("Td", "TD") and len(stack) >= 2:
+            tx, ty = stack[-2], stack[-1]
+            if isinstance(tx, float) and isinstance(ty, float):
+                line_x += tx
+                line_y += ty
+                cur_x, cur_y = line_x, line_y
+                if op == "TD":
+                    leading = -ty
+        elif op == "T*":
+            newline()
+        elif op == "Tj" and stack and isinstance(stack[-1], bytes):
+            emit(stack[-1])
+        elif op == "'" and stack and isinstance(stack[-1], bytes):
+            newline()
+            emit(stack[-1])
+        elif op == '"' and stack and isinstance(stack[-1], bytes):
+            newline()
+            emit(stack[-1])
+        elif op == "TJ" and stack and isinstance(stack[-1], list):
+            emit(b"".join(x for x in stack[-1] if isinstance(x, bytes)))
+        stack.clear()
+    return blocks
+
+
+def extract_pdf_blocks(payload: bytes) -> list[dict] | None:
+    """Decode a PDF byte payload into layout-parser text blocks.
+
+    Returns ``None`` when nothing text-like could be decoded (the engine
+    maps that to ``status='failed_parse'``). Never raises on garbage.
+    """
+    try:
+        objects: dict[int, bytes] = {}
+        order: list[int] = []
+        for m in _OBJ_RE.finditer(payload):
+            num = int(m.group(1))
+            if num not in objects:
+                order.append(num)
+            objects[num] = m.group(3)
+
+        def stream_of(body: bytes) -> bytes | None:
+            sm = _STREAM_RE.search(body)
+            if sm is None:
+                return None
+            data = sm.group(1)
+            if _FLATE_RE.search(body):
+                return _inflate(data)
+            if _OTHER_FILTER_RE.search(body):
+                return None  # unsupported filter
+            return data
+
+        # Page discovery: Kids order when a /Type /Pages node exists, else
+        # file order of /Type /Page objects, else any stream containing BT.
+        page_nums = [n for n in order if _TYPE_PAGE_RE.search(objects[n])]
+        for n in order:
+            if _TYPE_PAGES_RE.search(objects[n]):
+                km = _KIDS_RE.search(objects[n])
+                if km:
+                    kids = [int(r) for r in _REF_RE.findall(km.group(1))]
+                    if all(k in objects for k in kids):
+                        page_nums = [k for k in kids
+                                     if _TYPE_PAGE_RE.search(objects[k])]
+                break
+
+        pages: list[tuple[bytes, float]] = []  # (content, page_height)
+        for pn in page_nums:
+            body = objects[pn]
+            refs: list[int] = []
+            am = _CONTENTS_ARR_RE.search(body)
+            if am:
+                refs = [int(r) for r in _REF_RE.findall(am.group(1))]
+            else:
+                rm = _CONTENTS_REF_RE.search(body)
+                if rm:
+                    refs = [int(rm.group(1))]
+            parts = []
+            for r in refs:
+                if r in objects:
+                    s = stream_of(objects[r])
+                    if s:
+                        parts.append(s)
+            mb = _MEDIABOX_RE.search(body)
+            page_h = float(mb.group(4)) if mb else DEFAULT_PAGE_HEIGHT
+            if parts:
+                pages.append((b"\n".join(parts), page_h))
+
+        if not pages:  # tolerant fallback: any stream with a BT text block
+            for n in order:
+                s = stream_of(objects[n])
+                if s and b"BT" in s:
+                    pages.append((s, DEFAULT_PAGE_HEIGHT))
+
+        blocks: list[dict] = []
+        y_off = 0.0
+        for content, page_h in pages:
+            blocks.extend(_page_text_blocks(content, page_h, y_off))
+            y_off += page_h + PAGE_GAP
+        return blocks or None
+    except Exception:  # noqa: BLE001 — row-local tolerance, never raise
+        return None

@@ -1,0 +1,104 @@
+"""Minimal deterministic PDF writer (corpus generator + test fixtures).
+
+Produces standards-valid PDF 1.4 bytes: catalog → pages → page(s), one
+Flate-compressed (or raw) content stream per page, a correct xref table and
+trailer. Used by the synthetic pages corpus (``doc_id % 23`` rows) and the
+golden fixtures so the parser is exercised against real structure — any
+conforming reader opens these files.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+PAGE_W, PAGE_H = 612, 792
+MARGIN_X, TOP_Y = 72.0, 720.0
+FONT_SIZE = 12.0
+PARA_STEP = 34.0  # > LINE_SPACING_FACTOR × font size → one paragraph per line
+
+
+def _esc(text: str) -> bytes:
+    return (
+        text.encode("latin-1", errors="replace")
+        .replace(b"\\", b"\\\\")
+        .replace(b"(", b"\\(")
+        .replace(b")", b"\\)")
+    )
+
+
+def page_content(lines: list[tuple[float, float, str]],
+                 font_size: float = FONT_SIZE) -> bytes:
+    """Content stream placing each (x, y, text) line via Tm + Tj."""
+    parts = [b"BT", b"/F1 %.1f Tf" % font_size]
+    for x, y, text in lines:
+        parts.append(b"1 0 0 1 %.1f %.1f Tm" % (x, y))
+        parts.append(b"(" + _esc(text) + b") Tj")
+    parts.append(b"ET")
+    return b"\n".join(parts)
+
+
+def build_pdf(content_streams: list[bytes], *,
+              compress: bool | list[bool] = True) -> bytes:
+    """Assemble a valid PDF: one page per content stream. ``compress`` may
+    be a per-page list (mixed raw/Flate streams in one file)."""
+    n_pages = len(content_streams)
+    comp_flags = (compress if isinstance(compress, list)
+                  else [compress] * n_pages)
+    # object numbering: 1=catalog, 2=pages, 3=font,
+    # then per page i: page obj (4+2i), content obj (5+2i)
+    objs: dict[int, bytes] = {}
+    kids = " ".join(f"{4 + 2 * i} 0 R" for i in range(n_pages))
+    objs[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
+    objs[2] = (f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>"
+               ).encode("ascii")
+    objs[3] = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    for i, content in enumerate(content_streams):
+        page_num, cont_num = 4 + 2 * i, 5 + 2 * i
+        objs[page_num] = (
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {PAGE_W} {PAGE_H}] "
+            f"/Resources << /Font << /F1 3 0 R >> >> "
+            f"/Contents {cont_num} 0 R >>"
+        ).encode("ascii")
+        data = zlib.compress(content) if comp_flags[i] else content
+        filt = b"/Filter /FlateDecode " if comp_flags[i] else b""
+        objs[cont_num] = (
+            b"<< " + filt + b"/Length %d >>\nstream\n" % len(data)
+            + data + b"\nendstream"
+        )
+
+    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets: dict[int, int] = {}
+    for num in sorted(objs):
+        offsets[num] = len(out)
+        out += b"%d 0 obj\n" % num + objs[num] + b"\nendobj\n"
+    xref_at = len(out)
+    n_obj = max(objs) + 1
+    out += b"xref\n0 %d\n" % n_obj
+    out += b"0000000000 65535 f \n"
+    for num in range(1, n_obj):
+        out += b"%010d 00000 n \n" % offsets.get(num, 0)
+    out += (b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+            % (n_obj, xref_at))
+    return bytes(out)
+
+
+def build_text_pdf(paragraphs: list[str], *, paras_per_page: int = 18,
+                   compress: bool = True) -> bytes:
+    """One text line per paragraph, top-down, paginated.
+
+    Geometry contract (frozen — the corpus oracle depends on it): each
+    paragraph renders as ONE line at x=72 stepping PARA_STEP down, so the
+    ``multi_para`` layout parser emits exactly one output line per
+    paragraph → extracted text is ``"\\n".join(paragraphs) + "\\n"``.
+    """
+    streams: list[bytes] = []
+    for start in range(0, len(paragraphs), paras_per_page):
+        chunk = paragraphs[start : start + paras_per_page]
+        lines = [
+            (MARGIN_X, TOP_Y - i * PARA_STEP, text)
+            for i, text in enumerate(chunk)
+        ]
+        streams.append(page_content(lines))
+    if not streams:
+        streams = [page_content([])]
+    return build_pdf(streams, compress=compress)

@@ -98,6 +98,34 @@ _CODE_BLOCK_HTML = """
 _EMPTY_HTML = "<html><body><div>   </div></body></html>"
 
 
+def _pdf_basic() -> bytes:
+    """Two-page PDF exercising the operator surface: Tm/Td/TD/T* positioning,
+    Tj / ' / TJ text ops, literal escapes (parens, backslash, octal), a hex
+    string, paragraph-merge geometry, and one raw + one Flate stream."""
+    from xhs_ocr_ray.pdf.writer import build_pdf
+
+    page1 = (
+        b"BT /F1 12 Tf\n"
+        b"1 0 0 1 72 720 Tm (A PDF heading line) Tj\n"
+        # two-line paragraph: tight leading via TD then ' (next-line + show)
+        b"1 0 0 1 72 680 Tm 0 -14 TD (First paragraph starts here and) Tj\n"
+        b"(continues on a second line.) '\n"
+        # separate paragraph after a big gap; octal + paren escapes
+        b"1 0 0 1 72 600 Tm (Escapes: \\(parens\\), back\\\\slash, \\101BC octal.) Tj\n"
+        # TJ array with kerning numbers + hex string
+        b"1 0 0 1 72 560 Tm [(Kerned ) -20 (array ) -20 (text.)] TJ\n"
+        b"1 0 0 1 72 520 Tm <48657820737472696E672E> Tj\n"
+        b"ET"
+    )
+    page2 = (
+        b"BT /F1 12 Tf\n"
+        b"1 0 0 1 72 720 Tm (Second page begins.) Tj\n"
+        b"1 0 0 1 72 680 Tm (And ends the document.) Tj\n"
+        b"ET"
+    )
+    return build_pdf([page1, page2], compress=[True, False])
+
+
 def _layout_two_column() -> bytes:
     """A two-column layout payload: reading order must finish the left column
     before the right column (gap-tree semantics)."""
@@ -152,7 +180,8 @@ def golden_corpus() -> list[dict]:
         ("paragraphs", _PARAGRAPHS_HTML.encode()),
         ("code-block", _CODE_BLOCK_HTML.encode()),
         ("two-column-layout", _layout_two_column()),
-        ("pdf-stub", b"%PDF-1.7\nfake"),
+        ("pdf-basic", _pdf_basic()),
+        ("pdf-broken", b"%PDF-1.7\nfake"),
         ("empty", _EMPTY_HTML.encode()),
     ]
     rows = []

@@ -12,7 +12,8 @@ Two generators:
    ``(url, warc_ts, html, text, lang)``. Fully deterministic in ``doc_id``:
 
    - ``doc_id % 17 == 3``  → %LAYOUT1 text-box payload (layout/PDF path);
-   - ``doc_id % 23 == 5``  → %PDF stub payload (quarantine path);
+   - ``doc_id % 23 == 5``  → a real Flate-compressed PDF of the text's
+     paragraphs (PDF decode path, ``xhs_ocr_ray.pdf``);
    - ``doc_id % 29 == 13`` → metrics-panel page (masked-span profile path:
      the first profile fails its field-count check, the fallback binds
      views/likes/shares — the reference's mask-fallback loop at scale);
@@ -221,7 +222,9 @@ def pages_from_documents(batch: pa.Table, replicas: int = 1) -> pa.Table:
         if doc_id % 17 == 3:
             kind, payload = "layout", build_layout_payload(text)
         elif doc_id % 23 == 5:
-            kind, payload = "pdf", b"%PDF-1.7\n" + text.encode("utf-8")[:64]
+            from xhs_ocr_ray.pdf import build_text_pdf
+
+            kind, payload = "pdf", build_text_pdf(_paragraphs(text))
         elif doc_id % 29 == 13:
             kind, payload = "metrics", build_metrics_html(doc_id, title)
         elif doc_id % 199 == 11:
@@ -251,7 +254,7 @@ def pages_from_documents(batch: pa.Table, replicas: int = 1) -> pa.Table:
     )
 
 
-GENERATOR_VERSION = 6  # bump to invalidate /tmp page caches
+GENERATOR_VERSION = 7  # bump to invalidate /tmp page caches
 
 
 def ensure_pages_parquet(sf_dir: str, cache_root: str = "/tmp/xhs_pages_cache",

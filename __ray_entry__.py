@@ -421,6 +421,45 @@ def _q_token_topk(sf_dir: str):
     )
 
 
+def _derived_dup_corpus(sf_dir: str, table: str, id_col: str, val_col: str,
+                        *, salt: bool):
+    """Derived corpus with known exact-duplicate clusters: row i carries the
+    value of base row ``i - i % 3`` (ids are contiguous from 0). With
+    ``salt``, the value becomes chunked ``md5(base_value)`` — killing the
+    corpus's natural near-duplicates so LSH clustering has a closed-form SQL
+    oracle (groupby the salted value). Test scaffolding: the broadcast of the
+    base table is fine at correctness scale; the operators under test are the
+    scale-safe ones."""
+    import pyarrow as pa
+
+    from xhs_ocr_ray.functions.hashing import md5_hex
+    from xhs_ocr_ray.stages.merge import broadcast_join
+
+    ids = _read(sf_dir, table, columns=[id_col])
+
+    def with_base(b: pa.Table) -> pa.Table:
+        vals = b.column(id_col).to_numpy(zero_copy_only=False)
+        return b.append_column("base_id", pa.array(vals - vals % 3))
+
+    side = _read(sf_dir, table, columns=[id_col, val_col])
+    joined = broadcast_join(
+        ids.map_batches(with_base, batch_format="pyarrow"),
+        side, on="base_id", right_on=id_col, select={val_col: "__bv"},
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        if salt:
+            hs = [md5_hex(t) for t in b.column("__bv").to_pylist()]
+            vals = pa.array(
+                [" ".join((h[0:8], h[8:16], h[16:24], h[24:32])) for h in hs]
+            )
+        else:
+            vals = b.column("__bv")
+        return pa.table({id_col: b.column(id_col), val_col: vals})
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
 # -- rows-only (non-SQL-expressible) ----------------------------------------
 
 def _q_extract_pages(sf_dir: str):
@@ -452,37 +491,44 @@ def _q_lineage_pages(sf_dir: str):
 
     pages_dir = ensure_pages_parquet(sf_dir)
     pages = ray.data.read_parquet(pages_dir, columns=["url", "warc_ts", "html", "lang"])
-    return prefix_summary(
+    summary = prefix_summary(
         extract_dataset(pages, library=default_library(),
                         concurrency=(1, 4), batch_size=64)
+    )
+    # bytes_in (payload sizes) is not closed-form for compressed PDF
+    # payloads — project it away so the remaining columns are oracle-exact.
+    return summary.select_columns(
+        ["url_prefix", "n_docs", "n_ok", "n_failed", "chars_out"]
     )
 
 
 def _q_minhash_dedup(sf_dir: str):
+    """MinHash-LSH clustering over the salted duplicate corpus: every
+    exact-dup group (est = 1.0 ≥ 0.9) must cluster; salted values make
+    cross-group similarity negligible → the SQL groupby oracle is exact."""
     from xhs_ocr_ray.stages.dedup import minhash_lsh_dedup
 
-    return minhash_lsh_dedup(
-        _read(sf_dir, "documents", columns=["doc_id", "text"]), "text", "doc_id"
-    )
+    corpus = _derived_dup_corpus(sf_dir, "documents", "doc_id", "text", salt=True)
+    return minhash_lsh_dedup(corpus, "text", "doc_id", threshold=0.9)
 
 
 def _q_simhash_dedup(sf_dir: str):
+    """SimHash hamming-0 clustering over the salted duplicate corpus."""
     from xhs_ocr_ray.stages.dedup import simhash_dedup
 
-    return simhash_dedup(
-        _read(sf_dir, "documents", columns=["doc_id", "text"]), "text", "doc_id"
-    )
+    corpus = _derived_dup_corpus(sf_dir, "documents", "doc_id", "text", salt=True)
+    return simhash_dedup(corpus, "text", "doc_id", max_hamming=0)
 
 
 def _q_embedding_neardup(sf_dir: str):
+    """Hyperplane-LSH cosine clustering over the duplicated embeddings:
+    identical vectors (cosine 1 ≥ 0.99) cluster; random cross-group vectors
+    stay far below threshold."""
     from xhs_ocr_ray.stages.dedup import embedding_dedup
 
-    return embedding_dedup(
-        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
-        "embedding",
-        "vec_id",
-        threshold=0.9,
-    )
+    corpus = _derived_dup_corpus(sf_dir, "embeddings", "vec_id", "embedding",
+                                 salt=False)
+    return embedding_dedup(corpus, "embedding", "vec_id", threshold=0.99)
 
 
 def _q_ngram_jaccard(sf_dir: str):
@@ -494,6 +540,7 @@ def _q_ngram_jaccard(sf_dir: str):
         "doc_id",
         ["lang", "source"],
         threshold=0.3,
+        max_bucket=10**9,  # oracle-exact: no skew-cap truncation
     )
 
 
@@ -537,6 +584,106 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard": _q_ngram_jaccard,
         "lang_id": _q_lang_id,
     }
+
+
+# Cluster oracle for the salted duplicate corpus (minhash + simhash): the
+# corpus value of row i is chunked md5(text of row i - i%3), so clusters are
+# exactly the groups of equal salted text (see _derived_dup_corpus).
+_SALTED_CLUSTER_SQL = """
+    WITH corpus AS (
+      SELECT d.doc_id,
+             concat_ws(' ', substr(md5(b.text), 1, 8), substr(md5(b.text), 9, 8),
+                            substr(md5(b.text), 17, 8), substr(md5(b.text), 25, 8)
+             ) AS text
+      FROM documents d
+      JOIN documents b ON b.doc_id = d.doc_id - d.doc_id % 3
+    )
+    SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS cluster_id
+    FROM corpus
+"""
+
+# Closed form of the flagship page synthesis + extraction, per doc_id (see
+# xhs_ocr_ray/sources/pages.py routing and the extraction contracts):
+# article → title line + 24-word paragraph lines; layout → one line per
+# 6-word fragment; pdf → one line per paragraph; metrics → 3 bound fields;
+# every line costs its chars + 1 newline, so n_chars = word chars + words
+# (+ title + 1 for articles). dup rows (doc_id%50==7) collapse in the
+# deduped extract output and double in the un-deduped lineage counts.
+_PAGES_CTE = r"""
+    WITH w AS (
+      SELECT doc_id, source, regexp_extract_all(text, '\S+') AS words
+      FROM documents
+    ), f AS (
+      SELECT doc_id, source,
+             length(words) AS n_words,
+             length(array_to_string(words, '')) AS sum_chars,
+             length(array_to_string(words[1:6], ' ')) AS len_title,
+             CAST(ceil(length(words) / 24.0) AS BIGINT) AS n_paras,
+             CAST(ceil(length(words) / 6.0) AS BIGINT) AS n_frags,
+             CASE WHEN doc_id % 17 = 3 THEN 'layout'
+                  WHEN doc_id % 23 = 5 THEN 'pdf'
+                  WHEN doc_id % 29 = 13 THEN 'metrics'
+                  ELSE 'article' END AS kind,
+             CASE WHEN doc_id % 199 = 11 THEN 2500 ELSE 1 END AS rpt,
+             CAST(doc_id * 37 % 100000 AS VARCHAR) AS v,
+             CAST(doc_id * 13 % 5000 AS VARCHAR) AS l,
+             CAST(doc_id * 7 % 500 AS VARCHAR) AS s
+      FROM w
+    ), docs AS (
+      SELECT doc_id,
+             'https://' || source || '.example.com/' || kind || '/' || doc_id
+               AS url,
+             'ok' AS status,
+             CASE WHEN kind = 'metrics' THEN 2 ELSE 0 END AS profile_id,
+             CAST(CASE
+               WHEN kind = 'metrics'
+                 THEN 22 + length(v) + length(l) + length(s)
+               WHEN kind = 'article'
+                 THEN len_title + 1 + rpt * (sum_chars + n_words)
+               ELSE sum_chars + n_words END AS BIGINT) AS n_chars,
+             CAST(CASE
+               WHEN kind = 'metrics' THEN 3
+               WHEN kind = 'article' THEN 1 + rpt * n_paras
+               WHEN kind = 'layout' THEN n_frags
+               ELSE n_paras END AS BIGINT) AS n_lines,
+             doc_id % 50 = 7 AS dup,
+             source
+      FROM f
+    )
+"""
+
+
+def _lang_id_sql() -> str:
+    """SQL form of the LangId heuristic (stopword-hit argmax over the first
+    200 lowercased tokens; ties break in sorted-language order; <2 hits →
+    unknown). The corpus is ASCII-only, so the CJK char-range branches of
+    the classifier are statically dead here."""
+    from xhs_ocr_ray.stages.text_analysis import LangId
+
+    hits = {
+        lang: ", ".join(f"'{w}'" for w in sorted(ws))
+        for lang, ws in LangId.STOPWORDS.items()
+    }
+    return f"""
+        WITH t AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '\\S+')[1:200] AS toks
+          FROM documents
+        ), h AS (
+          SELECT doc_id,
+            length(list_filter(toks, x -> x IN ({hits["de"]}))) AS de_h,
+            length(list_filter(toks, x -> x IN ({hits["en"]}))) AS en_h,
+            length(list_filter(toks, x -> x IN ({hits["es"]}))) AS es_h,
+            length(list_filter(toks, x -> x IN ({hits["fr"]}))) AS fr_h
+          FROM t
+        )
+        SELECT doc_id, CASE
+          WHEN greatest(de_h, en_h, es_h, fr_h) < 2 THEN 'unknown'
+          WHEN de_h >= en_h AND de_h >= es_h AND de_h >= fr_h THEN 'de'
+          WHEN en_h >= es_h AND en_h >= fr_h THEN 'en'
+          WHEN es_h >= fr_h THEN 'es'
+          ELSE 'fr' END AS lang_pred
+        FROM h
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -682,5 +829,51 @@ def oracle_sql() -> dict[str, str]:
                  (SELECT embedding AS q FROM embeddings WHERE vec_id = 0)
             ORDER BY list_cosine_similarity(e.embedding, q) DESC, e.vec_id
             LIMIT 10
+        """,
+        # -- near-dup family: salted duplicate corpus → closed-form clusters
+        "minhash_dedup": _SALTED_CLUSTER_SQL,
+        "simhash_dedup": _SALTED_CLUSTER_SQL,
+        "embedding_neardup": """
+            WITH c AS (SELECT vec_id, vec_id - vec_id % 3 AS base
+                       FROM embeddings)
+            SELECT vec_id, min(vec_id) OVER (PARTITION BY base) AS cluster_id
+            FROM c
+        """,
+        "ngram_jaccard": r"""
+            WITH g AS (
+              SELECT doc_id, lang, source,
+                     list_distinct(list_transform(
+                       range(1, greatest(length(regexp_extract_all(text,'\S+')) - 1, 1)),
+                       i -> regexp_extract_all(text,'\S+')[i] || chr(31) ||
+                            regexp_extract_all(text,'\S+')[i+1] || chr(31) ||
+                            regexp_extract_all(text,'\S+')[i+2]
+                     )) AS grams
+              FROM documents
+            )
+            SELECT a.doc_id AS a, b.doc_id AS b,
+                   CAST(length(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                     / (length(a.grams) + length(b.grams)
+                        - length(list_intersect(a.grams, b.grams))) AS jaccard
+            FROM g a JOIN g b
+              ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+            WHERE length(a.grams) + length(b.grams) > 0
+              AND CAST(length(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                    / (length(a.grams) + length(b.grams)
+                       - length(list_intersect(a.grams, b.grams))) >= 0.3
+        """,
+        "lang_id": _lang_id_sql(),
+        # -- flagship pipeline: page synthesis + extraction are deterministic
+        # in doc_id, so the per-url metrics have a closed form
+        "extract_pages": _PAGES_CTE + """
+            SELECT url, status, profile_id, n_chars, n_lines FROM docs
+        """,
+        "lineage_pages": _PAGES_CTE + """
+            SELECT source || '.example.com' AS url_prefix,
+                   CAST(sum(CASE WHEN dup THEN 2 ELSE 1 END) AS BIGINT) AS n_docs,
+                   CAST(sum(CASE WHEN dup THEN 2 ELSE 1 END) AS BIGINT) AS n_ok,
+                   CAST(0 AS BIGINT) AS n_failed,
+                   CAST(sum(n_chars * CASE WHEN dup THEN 2 ELSE 1 END) AS BIGINT)
+                     AS chars_out
+            FROM docs GROUP BY source
         """,
     }

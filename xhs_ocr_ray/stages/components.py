@@ -100,8 +100,11 @@ def connected_components(edges_ds, *, max_iters: int = MAX_ITERS,
 
         rows = edges.take(2 * driver_threshold)  # bounded by construction
         labels = _union_find([(r["key"], r["dst"], 0.0) for r in rows])
+        items = [{"node": k, "label": v} for k, v in labels.items()]
+        # from_items defaults to ~200 blocks; 200 tiny blocks poison every
+        # downstream sort with per-block task overhead
         return ray.data.from_items(
-            [{"node": k, "label": v} for k, v in labels.items()]
+            items, override_num_blocks=max(1, len(items) // _ROWS_PER_BLOCK)
         )
 
     def init_bucket(chunk: pd.DataFrame) -> pd.DataFrame:

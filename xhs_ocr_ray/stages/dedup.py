@@ -421,8 +421,11 @@ def ngram_jaccard_pairs(ds, text_col: str, id_col: str, block_cols: list[str],
                 block_cols, sort=False, dropna=False
             )
         ]
-        if not outs:
-            return pd.DataFrame({"a": [], "b": [], "jaccard": []})
+        outs = [o for o in outs if len(o)]  # empty frames would promote
+        if not outs:                        # the id dtype to float64
+            empty = chunk[id_col].iloc[:0]
+            return pd.DataFrame({"a": empty, "b": empty,
+                                 "jaccard": pd.Series([], dtype="float64")})
         return pd.concat(outs, ignore_index=True)
 
     def block_pairs(group: pd.DataFrame) -> pd.DataFrame:
@@ -446,7 +449,9 @@ def ngram_jaccard_pairs(ds, text_col: str, id_col: str, block_cols: list[str],
                     a, b = ids[i], ids[j]
                     out.append((min(a, b), max(a, b), jac))
         if not out:
-            return pd.DataFrame({"a": [], "b": [], "jaccard": []})
+            empty = group[id_col].iloc[:0]
+            return pd.DataFrame({"a": empty, "b": empty,
+                                 "jaccard": pd.Series([], dtype="float64")})
         arr = list(zip(*out))
         return pd.DataFrame({"a": arr[0], "b": arr[1], "jaccard": arr[2]})
 

@@ -224,6 +224,26 @@ def _q_ann_topk(sf_dir: str):
     return pa.table({"vec_id": top.column("vec_id")})
 
 
+def _q_ann_index_topk(sf_dir: str):
+    """Index-backed top-10: build the hive-partitioned LSH posting-list
+    index (one map_batches pass, no driver collection), then probe with an
+    exhaustive multi-probe sweep so the result is exactly brute force — the
+    oracle-checkable operating point. Pruned-probe recall/latency trades are
+    unit-tested (test_similarity_ray)."""
+    import pyarrow as pa
+
+    from xhs_ocr_ray.stages.similarity import LshIndexSearch
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    q = emb.filter(lambda r: r["vec_id"] == 0).take(1)[0]["embedding"]
+    idx = LshIndexSearch(
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
+        num_planes=4, probe_hamming=4,
+    )
+    top = idx.search(q, k=10)
+    return pa.table({"vec_id": pa.array([i for i, _ in top], pa.int64())})
+
+
 def _q_sidecar_join(sf_dir: str):
     """Broadcast join: per-order customer name (J3 sidecar-lookup analog)."""
     from xhs_ocr_ray.stages.merge import broadcast_join
@@ -566,6 +586,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": _q_quality_score,
         "fingerprint": _q_fingerprint,
         "ann_topk": _q_ann_topk,
+        "ann_index_topk": _q_ann_index_topk,
         "sidecar_join": _q_sidecar_join,
         "semi_join": _q_semi_join,
         "anti_join": _q_anti_join,
@@ -824,6 +845,13 @@ def oracle_sql() -> dict[str, str]:
             FROM exploded GROUP BY event_type, window_id
         """,
         "ann_topk": """
+            SELECT e.vec_id
+            FROM embeddings e,
+                 (SELECT embedding AS q FROM embeddings WHERE vec_id = 0)
+            ORDER BY list_cosine_similarity(e.embedding, q) DESC, e.vec_id
+            LIMIT 10
+        """,
+        "ann_index_topk": """
             SELECT e.vec_id
             FROM embeddings e,
                  (SELECT embedding AS q FROM embeddings WHERE vec_id = 0)

@@ -65,23 +65,87 @@ def brute_force_topk(ds, query_vec, *, vec_col: str = "embedding",
     )
 
 
-class LshIndexSearch:
-    """Random-hyperplane LSH ANN: build once over a Dataset, probe per query.
+def _index_dir(index_dir: str | None, kind: str) -> str:
+    import os
+    import tempfile
+    import uuid
 
-    The scale path: the corpus is hashed into ``2**num_planes`` buckets (a
-    groupby-shaped shuffle once); a query probes its own bucket plus all
-    buckets within ``probe_hamming`` code distance. Recall/latency trade via
-    ``num_planes`` / ``probe_hamming``.
+    return index_dir or os.path.join(
+        tempfile.gettempdir(), f"xhs_{kind}_index", uuid.uuid4().hex
+    )
+
+
+def _probe_topk(index_dir: str, part_col: str, part_values: list[int],
+                id_col: str, q_unit: np.ndarray, k: int) -> list[tuple]:
+    """Distributed probe of a partitioned posting-list index: read ONLY the
+    matching ``part_col=<v>/`` partition directories (path-level pruning —
+    nothing outside the probed buckets leaves storage), local top-k per
+    batch, tiny bounded driver merge (≤ k rows per block)."""
+    import heapq
+    import os
+
+    import ray
+    import ray.data
+
+    q64 = q_unit.astype(np.float64)
+    q_ref = ray.put(q64)
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        qv = ray.get(q_ref)
+        ids = batch.column(id_col).to_pylist()
+        if not ids:
+            return pa.table({id_col: batch.column(id_col),
+                             "sim": pa.array([], pa.float64())})
+        mat = np.frombuffer(
+            b"".join(batch.column("unit").to_pylist()), dtype=np.float32
+        ).reshape(len(ids), -1).astype(np.float64)
+        sims = mat @ qv
+        order = np.lexsort((np.asarray(ids), -sims))[:k]
+        return pa.table(
+            {id_col: pa.array([ids[i] for i in order]),
+             "sim": pa.array([float(sims[i]) for i in order], pa.float64())}
+        )
+
+    dirs = [
+        p for p in
+        (os.path.join(index_dir, f"{part_col}={v}") for v in part_values)
+        if os.path.isdir(p)
+    ]
+    # read_parquet with a path LIST expects files, not directories
+    files = [os.path.join(p, f) for p in dirs
+             for f in sorted(os.listdir(p)) if f.endswith(".parquet")]
+    if not files:
+        return []
+    cand = (
+        ray.data.read_parquet(files)
+        .map_batches(local_topk, batch_format="pyarrow")
+        .take_all()  # bounded: ≤ k rows per block
+    )
+    best = heapq.nsmallest(k, cand, key=lambda r: (-r["sim"], r[id_col]))
+    return [(r[id_col], r["sim"]) for r in best]
+
+
+class LshIndexSearch:
+    """Random-hyperplane LSH ANN over a partitioned parquet index.
+
+    Build = ONE ``map_batches`` pass hashing the corpus into
+    ``2**num_planes`` buckets, written as hive-partitioned parquet
+    (``code=<bucket>/``) — posting lists never touch the driver, and a
+    multi-node cluster builds and probes them in place. A query probes its
+    own bucket plus all buckets within ``probe_hamming`` code distance
+    (partition-pruned read). Recall/latency trade via ``num_planes`` /
+    ``probe_hamming``.
     """
 
     def __init__(self, ds, *, vec_col: str = "embedding", id_col: str = "vec_id",
-                 num_planes: int = 8, probe_hamming: int = 1, seed: int = 11):
+                 num_planes: int = 8, probe_hamming: int = 1, seed: int = 11,
+                 index_dir: str | None = None):
         self.vec_col, self.id_col = vec_col, id_col
         self.num_planes = num_planes
         self.probe_hamming = probe_hamming
         self.seed = seed
+        self.index_dir = _index_dir(index_dir, "lsh")
         self.planes: np.ndarray | None = None
-        self.buckets: dict[int, tuple[list, np.ndarray]] = {}
         self._build(ds)
 
     def _codes(self, mat: np.ndarray) -> np.ndarray:
@@ -89,6 +153,8 @@ class LshIndexSearch:
         return (signs.astype(np.int64) * (1 << np.arange(self.num_planes))).sum(axis=1)
 
     def _build(self, ds) -> None:
+        import ray.data
+
         seed, num_planes = self.seed, self.num_planes
         vec_col, id_col = self.vec_col, self.id_col
 
@@ -97,61 +163,58 @@ class LshIndexSearch:
             if mat.size == 0:
                 return pa.table({"code": pa.array([], pa.int64()),
                                  id_col: batch.column(id_col),
-                                 "unit": pa.array([], pa.list_(pa.float32()))})
+                                 "unit": pa.array([], pa.binary())})
             planes = np.random.default_rng(seed).standard_normal(
                 (mat.shape[1], num_planes)
             ).astype(np.float32)
             norms = np.linalg.norm(mat, axis=1, keepdims=True)
             norms[norms == 0] = 1.0
-            unit = mat / norms
+            unit = (mat / norms).astype(np.float32)
             signs = (unit @ planes) > 0
             codes = (signs.astype(np.int64) * (1 << np.arange(num_planes))).sum(axis=1)
             return pa.table(
                 {
                     "code": pa.array(codes, pa.int64()),
                     id_col: batch.column(id_col),
-                    "unit": pa.array([v.tolist() for v in unit], pa.list_(pa.float32())),
+                    # raw float32 bytes: plain binary shuffles/stores cleanly
+                    "unit": pa.array([v.tobytes() for v in unit], pa.binary()),
                 }
             )
 
-        rows = ds.map_batches(bucketize, batch_format="pyarrow").take_all()
-        if rows:
-            dim = len(rows[0]["unit"])
+        ds.map_batches(bucketize, batch_format="pyarrow").write_parquet(
+            self.index_dir, partition_cols=["code"]
+        )
+        first = ray.data.read_parquet(self.index_dir).take(1)  # bounded: 1 row
+        if first:
+            dim = len(np.frombuffer(first[0]["unit"], dtype=np.float32))
             self.planes = np.random.default_rng(seed).standard_normal(
                 (dim, num_planes)
             ).astype(np.float32)
-        grouped: dict[int, tuple[list, list]] = {}
-        for r in rows:
-            ids, vecs = grouped.setdefault(int(r["code"]), ([], []))
-            ids.append(r[self.id_col])
-            vecs.append(np.asarray(r["unit"], dtype=np.float32))
-        self.buckets = {
-            c: (ids, np.stack(vecs)) for c, (ids, vecs) in grouped.items()
-        }
 
     def _probe_codes(self, code: int) -> list[int]:
+        """All codes within ``probe_hamming`` bit flips of ``code``;
+        ``probe_hamming >= num_planes`` probes every bucket (the exhaustive
+        operating point whose result is exactly brute force)."""
+        from itertools import combinations
+
         codes = [code]
-        if self.probe_hamming >= 1:
-            codes += [code ^ (1 << b) for b in range(self.num_planes)]
-        if self.probe_hamming >= 2:
-            for b1 in range(self.num_planes):
-                for b2 in range(b1 + 1, self.num_planes):
-                    codes.append(code ^ (1 << b1) ^ (1 << b2))
+        for h in range(1, min(self.probe_hamming, self.num_planes) + 1):
+            for bits in combinations(range(self.num_planes), h):
+                flip = 0
+                for b in bits:
+                    flip |= 1 << b
+                codes.append(code ^ flip)
         return codes
 
     def search(self, query_vec, k: int = 10) -> list[tuple]:
         """[(id, sim)] sorted desc; probes bucket + hamming neighbors."""
+        if self.planes is None:
+            return []
         q = np.asarray(query_vec, dtype=np.float32)
         q = q / (np.linalg.norm(q) or 1.0)
         code = int(self._codes(q[None, :])[0])
-        cand: list[tuple] = []
-        for c in self._probe_codes(code):
-            if c in self.buckets:
-                ids, mat = self.buckets[c]
-                sims = mat @ q
-                cand.extend(zip(ids, sims.tolist()))
-        cand.sort(key=lambda t: (-t[1], t[0]))
-        return cand[:k]
+        return _probe_topk(self.index_dir, "code", self._probe_codes(code),
+                           self.id_col, q, k)
 
 
 class IvfIndexSearch:
@@ -159,18 +222,20 @@ class IvfIndexSearch:
     posting lists; queries probe the ``nprobe`` nearest centroids.
 
     Build is Ray-distributed: centroids are trained with a few Lloyd
-    iterations over a deterministic sample (driver-side numpy — centroids
-    are tiny), then ONE ``map_batches`` pass assigns every vector and emits
-    (centroid_id, id, unit_vec) rows that group into posting lists. The
-    scale path for the posting lists is a groupby write; here they are
-    collected (bench corpus is driver-small) — documented trade-off.
+    iterations over a bounded deterministic sample (driver-side numpy —
+    centroids are tiny), then ONE ``map_batches`` pass assigns every vector
+    and writes hive-partitioned parquet posting lists (``cid=<centroid>/``)
+    — nothing corpus-sized touches the driver. A query probes only the
+    ``nprobe`` nearest centroids' partitions (partition-pruned read).
     """
 
     def __init__(self, ds, *, vec_col: str = "embedding", id_col: str = "vec_id",
                  n_centroids: int = 16, nprobe: int = 3, iters: int = 5,
-                 sample: int = 2048, seed: int = 13):
+                 sample: int = 2048, seed: int = 13,
+                 index_dir: str | None = None):
         self.vec_col, self.id_col = vec_col, id_col
         self.nprobe = nprobe
+        self.index_dir = _index_dir(index_dir, "ivf")
         sample_vals = ds.limit(sample).select_columns([vec_col]).to_pandas()[vec_col]
         mat = np.asarray(sample_vals.tolist(), dtype=np.float32)
         norms = np.linalg.norm(mat, axis=1, keepdims=True)
@@ -199,37 +264,26 @@ class IvfIndexSearch:
             if m.size == 0:
                 return pa.table({"cid": pa.array([], pa.int32()),
                                  id_col: batch.column(id_col),
-                                 "unit": pa.array([], pa.list_(pa.float32()))})
+                                 "unit": pa.array([], pa.binary())})
             nrm = np.linalg.norm(m, axis=1, keepdims=True)
             nrm[nrm == 0] = 1.0
-            u = m / nrm
+            u = (m / nrm).astype(np.float32)
             cid = (u @ cents.T).argmax(axis=1).astype(np.int32)
             return pa.table(
                 {
                     "cid": pa.array(cid),
                     id_col: batch.column(id_col),
-                    "unit": pa.array([v.tolist() for v in u], pa.list_(pa.float32())),
+                    "unit": pa.array([v.tobytes() for v in u], pa.binary()),
                 }
             )
 
-        rows = ds.map_batches(assign_rows, batch_format="pyarrow").take_all()
-        lists: dict[int, tuple[list, list]] = {}
-        for r in rows:
-            ids, vecs = lists.setdefault(int(r["cid"]), ([], []))
-            ids.append(r[self.id_col])
-            vecs.append(np.asarray(r["unit"], dtype=np.float32))
-        self.postings = {c: (ids, np.stack(vs)) for c, (ids, vs) in lists.items()}
+        ds.map_batches(assign_rows, batch_format="pyarrow").write_parquet(
+            self.index_dir, partition_cols=["cid"]
+        )
 
     def search(self, query_vec, k: int = 10) -> list[tuple]:
         q = np.asarray(query_vec, dtype=np.float32)
         q = q / (np.linalg.norm(q) or 1.0)
         order = np.argsort(-(self.centroids @ q))[: self.nprobe]
-        cand: list[tuple] = []
-        for c in order:
-            got = self.postings.get(int(c))
-            if got:
-                ids, mat = got
-                sims = mat @ q
-                cand.extend(zip(ids, sims.tolist()))
-        cand.sort(key=lambda t: (-t[1], t[0]))
-        return cand[:k]
+        return _probe_topk(self.index_dir, "cid", [int(c) for c in order],
+                           self.id_col, q, k)

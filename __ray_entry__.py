@@ -244,6 +244,63 @@ def _q_ann_index_topk(sf_dir: str):
     return pa.table({"vec_id": pa.array([i for i, _ in top], pa.int64())})
 
 
+def _ensure_sidecar_jsonl(sf_dir: str) -> str:
+    """Deterministic typed-sidecar fixture derived from the nation table:
+    one user-info record per nation, format cycling tiktok/weibo/xhs with
+    the reference's per-format field names (xhs counts in Chinese number
+    format). Cached under /tmp keyed by the sf dir."""
+    import hashlib
+    import json
+
+    import pyarrow.parquet as pq
+
+    tag = hashlib.blake2b(
+        os.path.abspath(sf_dir).encode("utf-8"), digest_size=4
+    ).hexdigest()
+    cache = os.path.join("/tmp/xhs_sidecar_cache")
+    out = os.path.join(cache, f"{tag}.jsonl")
+    if os.path.exists(out):
+        return out
+    os.makedirs(cache, exist_ok=True)
+    t = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                      columns=["n_nationkey", "n_name"])
+    lines = []
+    for k, name in sorted(zip(t.column("n_nationkey").to_pylist(),
+                              t.column("n_name").to_pylist())):
+        app = ("tiktok", "weibo", "xhs")[k % 3]
+        fname = "profile_url.json" if app == "xhs" else "user_info.json"
+        path = f"/crawl/{app}/2024-01-{k % 28 + 1:02d}/10.0.0.{k}#acct{k}/{fname}"
+        if app == "xhs":
+            payload = {"user_profile_url": f"https://x.example/{k}",
+                       "nickname": name, "following_count": str(k * 7 + 1),
+                       "fans": f"{k}万", "likes_collect_count": str(k * 11)}
+        elif app == "tiktok":
+            payload = {"share_link": f"https://t.example/{k}", "nickname": name,
+                       "follow_count": k * 7 + 1, "follower_count": k * 113 + 5,
+                       "like_count": k * 11}
+        else:
+            payload = {"share_link": f"https://t.example/{k}", "nickname": name,
+                       "follow_count": k * 7 + 1, "follower_count": k * 113 + 5}
+        lines.append(json.dumps(
+            {"app": app, "path": path, "payload": json.dumps(payload)}
+        ))
+    tmp = out + ".tmp"
+    with open(tmp, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    os.replace(tmp, out)
+    return out
+
+
+def _q_sidecar_typed(sf_dir: str):
+    """Typed per-format sidecar parsing (S4 variants): tiktok/weibo/xhs
+    user-info shapes with path metadata and Chinese-number counts."""
+    import ray.data
+
+    from xhs_ocr_ray.sources.sidecar_formats import typed_user_info
+
+    return typed_user_info(ray.data.read_json(_ensure_sidecar_jsonl(sf_dir)))
+
+
 def _q_sidecar_join(sf_dir: str):
     """Broadcast join: per-order customer name (J3 sidecar-lookup analog)."""
     from xhs_ocr_ray.stages.merge import broadcast_join
@@ -588,6 +645,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": _q_ann_topk,
         "ann_index_topk": _q_ann_index_topk,
         "sidecar_join": _q_sidecar_join,
+        "sidecar_typed": _q_sidecar_typed,
         "semi_join": _q_semi_join,
         "anti_join": _q_anti_join,
         "top_customers": _q_top_customers,
@@ -786,6 +844,25 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o.o_orderkey, o.o_custkey, c.c_name AS cust_name "
             "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey"
         ),
+        "sidecar_typed": """
+            SELECT CASE n_nationkey % 3 WHEN 0 THEN 'tiktok'
+                        WHEN 1 THEN 'weibo' ELSE 'xhs' END AS app,
+                   '10.0.0.' || n_nationkey AS device_ip,
+                   'acct' || n_nationkey AS account_id,
+                   '2024-01-' || lpad(CAST(n_nationkey % 28 + 1 AS VARCHAR), 2, '0')
+                     AS collect_date,
+                   n_name AS nickname,
+                   CAST(n_nationkey * 7 + 1 AS BIGINT) AS follows,
+                   CAST(CASE WHEN n_nationkey % 3 = 2 THEN n_nationkey * 10000
+                             ELSE n_nationkey * 113 + 5 END AS BIGINT) AS fans,
+                   CAST(CASE WHEN n_nationkey % 3 = 1 THEN -1
+                             ELSE n_nationkey * 11 END AS BIGINT) AS interaction,
+                   CASE WHEN n_nationkey % 3 = 2
+                        THEN 'https://x.example/' || n_nationkey
+                        ELSE 'https://t.example/' || n_nationkey END AS profile_url,
+                   'ok' AS status
+            FROM nation
+        """,
         "semi_join": (
             "SELECT c_custkey, c_name, c_mktsegment FROM customer c "
             "WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"

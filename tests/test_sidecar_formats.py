@@ -1,0 +1,137 @@
+"""Typed per-format sidecar readers (S4 variants) + interval scheduler."""
+
+import json
+
+from xhs_ocr_ray.sources.sidecar_formats import (
+    MISSING,
+    parse_path_meta,
+    parse_user_info,
+    typed_user_info,
+)
+
+
+def test_parse_path_meta():
+    assert parse_path_meta("/c/tiktok/2024-01-05/1.2.3.4#acct9/user_info.json") \
+        == ("1.2.3.4", "acct9", "2024-01-05")
+    # no '#' → empty account (the reference's '无' case)
+    assert parse_path_meta("/c/weibo/2024-01-05/1.2.3.4/user_info.json") \
+        == ("1.2.3.4", "", "2024-01-05")
+
+
+def test_tiktok_fields():
+    rec = parse_user_info(
+        "tiktok", "/c/2024-01-05/ip#a1/user_info.json",
+        json.dumps({"share_link": "https://t/x", "nickname": "nick",
+                    "follow_count": 10, "follower_count": 20, "like_count": 30}),
+    )
+    assert rec["follows"] == 10 and rec["fans"] == 20 and rec["interaction"] == 30
+    assert rec["profile_url"] == "https://t/x" and rec["status"] == "ok"
+
+
+def test_weibo_has_no_interaction():
+    rec = parse_user_info(
+        "weibo", "/c/2024-01-05/ip#a1/user_info.json",
+        {"share_link": "s", "nickname": "n", "follow_count": "7",
+         "follower_count": "8", "like_count": 99},  # like_count must be ignored
+    )
+    assert rec["follows"] == 7 and rec["fans"] == 8
+    assert rec["interaction"] == MISSING
+
+
+def test_xhs_chinese_numbers():
+    rec = parse_user_info(
+        "xhs", "/c/2024-01-05/ip#a1/profile_url.json",
+        {"user_profile_url": "u", "nickname": "n", "following_count": "1.5万",
+         "fans": "3万", "likes_collect_count": "120"},
+    )
+    assert rec["follows"] == 15000 and rec["fans"] == 30000
+    assert rec["interaction"] == 120
+
+
+def test_invalid_nickname_kept_with_status():
+    rec = parse_user_info("tiktok", "/c/d/ip#a/user_info.json",
+                          {"follow_count": 1})
+    assert rec["status"] == "invalid" and rec["nickname"] == ""
+
+
+def test_wrong_filename_and_garbage_skipped():
+    assert parse_user_info("xhs", "/c/d/ip#a/user_info.json", "{}") is None
+    assert parse_user_info("tiktok", "/c/d/ip#a/user_info.json", "not json") is None
+    assert parse_user_info("tiktok", "/c/d/ip#a/user_info.json", "[1,2]") is None
+
+
+def test_typed_user_info_ray(ray_session):
+    import ray.data
+
+    rows = [
+        {"app": "tiktok", "path": "/c/2024-01-05/ip#a1/user_info.json",
+         "payload": json.dumps({"nickname": "t", "follow_count": 1,
+                                "follower_count": 2, "like_count": 3,
+                                "share_link": "s"})},
+        {"app": "xhs", "path": "/c/2024-01-06/ip2#a2/profile_url.json",
+         "payload": json.dumps({"nickname": "x", "following_count": "2万",
+                                "fans": "5", "likes_collect_count": "",
+                                "user_profile_url": "u"})},
+        {"app": "weibo", "path": "/c/2024-01-07/ip3#a3/other.json",
+         "payload": "{}"},  # wrong filename → dropped
+    ]
+    out = typed_user_info(ray.data.from_items(rows)).to_pandas()
+    out = out.sort_values("app").reset_index(drop=True)
+    assert list(out["app"]) == ["tiktok", "xhs"]
+    assert list(out["follows"]) == [1, 20000]
+    assert list(out["interaction"]) == [3, MISSING]
+    assert list(out["account_id"]) == ["a1", "a2"]
+
+
+def test_scheduler_due_runs_and_catchup():
+    from xhs_ocr_ray.scheduler import due_runs
+
+    # first launch: only the latest tick
+    assert due_runs(None, 1005.0, 100.0) == [1000.0]
+    # steady state: one elapsed tick
+    assert due_runs(1000.0, 1105.0, 100.0) == [1100.0]
+    # downtime: catch up all missed ticks in order
+    assert due_runs(1000.0, 1350.0, 100.0) == [1100.0, 1200.0, 1300.0]
+    # bounded catch-up keeps the newest ticks
+    assert due_runs(0.0, 10_000.0, 100.0, max_catchup=3) == [9800.0, 9900.0, 10000.0]
+    assert due_runs(1000.0, 1050.0, 100.0) == []
+
+
+def test_scheduler_run_periodic_no_sleep(tmp_path):
+    from xhs_ocr_ray.scheduler import run_periodic
+
+    clock = {"t": 1005.0}
+    ran: list[float] = []
+
+    def fake_sleep(s):
+        clock["t"] += s
+
+    state = str(tmp_path / "sched.json")
+    n = run_periodic(ran.append, 100.0, max_runs=3, state_path=state,
+                     now=lambda: clock["t"], sleep=fake_sleep)
+    assert n == 3 and ran == [1000.0, 1100.0, 1200.0]
+    # restart after downtime: catch-up from the persisted state
+    clock["t"] = 1460.0
+    ran2: list[float] = []
+    n2 = run_periodic(ran2.append, 100.0, max_runs=2, state_path=state,
+                      now=lambda: clock["t"], sleep=fake_sleep)
+    assert n2 == 2 and ran2 == [1300.0, 1400.0]
+
+
+def test_extract_dataset_remote_args(ray_session):
+    """A2 analog: resource knobs plumb through to the actor pool."""
+    import ray.data
+
+    from xhs_ocr_ray.pipelines.extract_pages import extract_dataset
+    from xhs_ocr_ray.sources.golden import golden_corpus
+    from xhs_ocr_ray.sources.pages import PAGES_SCHEMA
+
+    import pyarrow as pa
+
+    rows = golden_corpus()[:3]
+    tbl = pa.Table.from_pylist(
+        [{**r, "warc_ts": r["warc_ts"]} for r in rows]
+    ).cast(PAGES_SCHEMA)
+    out = extract_dataset(ray.data.from_arrow(tbl), concurrency=(1, 2),
+                          batch_size=2, ray_remote_args={"num_cpus": 0.5})
+    assert out.count() == 3

@@ -264,10 +264,17 @@ def run_extract(staged_dir: str, out_dir: str, *,
 
 
 def extract_dataset(pages_ds, *, library: ProfileLibrary | None = None,
-                    concurrency: int | tuple = (1, 8), batch_size: int = 64):
+                    concurrency: int | tuple = (1, 8), batch_size: int = 64,
+                    ray_remote_args: dict | None = None):
     """Library form: pages Dataset → extracted Dataset (no checkpointing).
 
     Used by the driver's ``entry()``/``queries()`` and by tests.
+
+    ``ray_remote_args`` is the remote-engine placement knob (the A2/A5
+    analog of the reference's ``remote://ip:port`` engine mode,
+    core/ppocr_api.py:178-319): pass ``{"num_gpus": 1}``, ``{"num_cpus": 2}``
+    or ``{"resources": {"engine_node": 1}}`` to pin extractor actors onto
+    the nodes that host the heavyweight engine runtime.
     """
     return pages_ds.map_batches(
         ExtractorEngine,
@@ -275,4 +282,5 @@ def extract_dataset(pages_ds, *, library: ProfileLibrary | None = None,
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
+        **(ray_remote_args or {}),
     )

@@ -32,6 +32,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--concurrency", type=int, default=None,
                    help="max extractor actors (default: cluster CPUs)")
     p.add_argument("--batch-size", type=int, default=32)
+    p.add_argument("--every", type=float, default=None, metavar="SECONDS",
+                   help="run on an interval with restart catch-up (E2 "
+                        "scheduler analog); state in <out>/_manifests")
+    p.add_argument("--max-runs", type=int, default=None,
+                   help="stop after N scheduled runs (with --every)")
     args = p.parse_args(argv)
 
     import ray
@@ -49,17 +54,32 @@ def main(argv: list[str] | None = None) -> int:
     since_ts = (
         datetime.datetime.fromisoformat(args.since) if args.since else None
     )
-    bucketize(args.input, args.staged, num_buckets=args.num_buckets)
-    res = run_extract(
-        args.staged,
-        args.out,
-        library=default_library(),
-        since_ts=since_ts,
-        concurrency=(1, max_actors),
-        batch_size=args.batch_size,
-        buckets_per_job=args.buckets_per_job,
-    )
-    print(json.dumps(res))
+    def one_run(_tick: float | None = None) -> dict:
+        bucketize(args.input, args.staged, num_buckets=args.num_buckets)
+        res = run_extract(
+            args.staged,
+            args.out,
+            library=default_library(),
+            since_ts=since_ts,
+            concurrency=(1, max_actors),
+            batch_size=args.batch_size,
+            buckets_per_job=args.buckets_per_job,
+        )
+        print(json.dumps(res))
+        return res
+
+    if args.every:
+        import os
+
+        from xhs_ocr_ray.scheduler import run_periodic
+
+        os.makedirs(os.path.join(args.out, "_manifests"), exist_ok=True)
+        run_periodic(
+            one_run, args.every, max_runs=args.max_runs,
+            state_path=os.path.join(args.out, "_manifests", "_schedule.json"),
+        )
+    else:
+        one_run()
     return 0
 
 

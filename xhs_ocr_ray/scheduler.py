@@ -1,0 +1,90 @@
+"""Interval scheduler with catch-up (SURVEY.md E2 analog).
+
+The reference runs its pipeline on a wall-clock loop — every N minutes or
+daily at a fixed time (core/social_ocr.py:118-152). The Ray-native mapping
+is "one ``ray job submit`` per window" (each run resumes from manifests and
+skips finished partitions), and this module is the loop driving it:
+
+- :func:`due_runs` — pure catch-up arithmetic: which scheduled ticks have
+  elapsed since the last recorded run (a restart after downtime re-runs the
+  missed windows, newest-bounded by ``max_catchup``);
+- :func:`run_periodic` — drives a job callable on the schedule, persisting
+  the last-run tick to ``state_path`` so catch-up survives process restarts.
+
+The clock is injectable; tests never sleep.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from collections.abc import Callable
+
+
+def due_runs(last_run: float | None, now: float, every_s: float,
+             *, anchor: float = 0.0, max_catchup: int = 24) -> list[float]:
+    """Tick times in ``(last_run, now]`` on the ``anchor + k*every_s`` grid.
+
+    ``last_run=None`` → only the most recent tick (first launch does not
+    replay history). A long outage replays at most ``max_catchup`` newest
+    ticks — surfaced by the caller as skipped windows, never silent.
+    """
+    if every_s <= 0:
+        raise ValueError("every_s must be positive")
+    latest = anchor + ((now - anchor) // every_s) * every_s
+    if latest > now:  # float guard
+        latest -= every_s
+    if last_run is None:
+        return [latest] if latest <= now else []
+    ticks: list[float] = []
+    t = latest
+    while t > last_run and len(ticks) < max_catchup:
+        ticks.append(t)
+        t -= every_s
+    ticks.reverse()
+    return ticks
+
+
+def _load_state(path: str | None) -> float | None:
+    if path and os.path.exists(path):
+        try:
+            with open(path) as f:
+                return float(json.load(f)["last_run"])
+        except (ValueError, KeyError, OSError):
+            return None
+    return None
+
+
+def _save_state(path: str | None, tick: float) -> None:
+    if not path:
+        return
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"last_run": tick}, f)
+    os.replace(tmp, path)
+
+
+def run_periodic(job: Callable[[float], object], every_s: float, *,
+                 max_runs: int | None = None, state_path: str | None = None,
+                 now: Callable[[], float] = time.time,
+                 sleep: Callable[[float], None] = time.sleep) -> int:
+    """Run ``job(tick_time)`` on every due tick; returns the run count.
+
+    Catch-up first (missed ticks from ``state_path``), then steady-state:
+    sleep to the next grid tick. ``max_runs`` bounds the loop (tests and
+    one-shot catch-up invocations)."""
+    runs = 0
+    last = _load_state(state_path)
+    while max_runs is None or runs < max_runs:
+        for tick in due_runs(last, now(), every_s):
+            job(tick)
+            last = tick
+            _save_state(state_path, tick)
+            runs += 1
+            if max_runs is not None and runs >= max_runs:
+                return runs
+        current = now()
+        next_tick = (current // every_s + 1) * every_s
+        sleep(max(0.0, next_tick - current))
+    return runs

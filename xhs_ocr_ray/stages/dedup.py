@@ -139,7 +139,8 @@ def _filler(n: int, dtype: pa.DataType) -> pa.Array:
 
 def _bucket_attach(left_ds, key_col: str, right_ds, right_key: str,
                    val_col: str, out_name: str, *,
-                   left_schema: pa.Schema, val_type: pa.DataType):
+                   left_schema: pa.Schema, val_type: pa.DataType,
+                   dedup_left: bool = False):
     """Distributed inner hash-join appending ``right[val_col]`` to each left
     row where ``left[key_col] == right[right_key]`` — one bucketed shuffle,
     vectorized pandas merge per bucket, no driver collection.
@@ -170,6 +171,11 @@ def _bucket_attach(left_ds, key_col: str, right_ds, right_key: str,
 
     def join_bucket(chunk: pd.DataFrame) -> pd.DataFrame:
         left = chunk[chunk["__side"] == 0].drop(columns=[out_name, "__side", "__kb"])
+        if dedup_left:
+            # identical left rows always share a bucket (same join key), so
+            # cross-partition dedup is exact here — saves a dedicated
+            # dedup shuffle stage for callers with duplicated left rows
+            left = left.drop_duplicates()
         right = chunk[chunk["__side"] == 1][["__jk", out_name]]
         return left.merge(right, on="__jk", how="inner").drop(columns=["__jk"])
 
@@ -283,23 +289,18 @@ def minhash_lsh_dedup(ds, text_col: str, id_col: str, *, num_perm: int = 64,
         sig_ds.map_batches(band_rows, batch_format="pyarrow")
         .groupby("__kb")
         .map_groups(coarse_candidates, batch_format="pandas")
-        # same pair can surface from several band buckets → distributed dedup
-        .map_batches(_add_key_bucket, batch_format="pyarrow",
-                     fn_kwargs={"key_cols": ["a", "b"],
-                                "num_buckets": default_num_buckets()})
-        .groupby("__kb")
-        .map_groups(
-            lambda c: c.drop(columns="__kb").drop_duplicates(),
-            batch_format="pandas",
-        )
     )
+    # The same pair can surface from several band buckets; dedup is folded
+    # into the first attach (pairs co-locate by their "a" join key there),
+    # saving a dedicated shuffle stage.
 
     # Verification: attach both signatures by bucketed join, compare
     # vectorized per batch — pairs never leave the cluster.
     id_type = {f.name: f.type for f in _arrow_schema(ds)}[id_col]
     pair_schema = pa.schema([("a", id_type), ("b", id_type)])
     with_a = _bucket_attach(cand, "a", sig_ds, id_col, "sig", "sig_a",
-                            left_schema=pair_schema, val_type=pa.binary())
+                            left_schema=pair_schema, val_type=pa.binary(),
+                            dedup_left=True)
     with_ab = _bucket_attach(
         with_a, "b", sig_ds, id_col, "sig", "sig_b",
         left_schema=pair_schema.append(pa.field("sig_a", pa.binary())),

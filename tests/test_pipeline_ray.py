@@ -213,3 +213,25 @@ def test_flagship_metrics_pages_use_profile_fallback(ray_session):
     assert (metrics["profile_id"] == 2).all()  # fallback fired
     fields = json.loads(metrics.iloc[0]["fields"])
     assert set(fields) == {"views", "likes", "shares"}
+
+
+def test_debug_artifacts_written(tmp_path, ray_session):
+    """L15 analog: per-partition annotated text artifacts (numbered lines)."""
+    import json as json_mod
+    import os as os_mod
+
+    from xhs_ocr_ray.stages.debug_sink import write_debug_artifacts
+
+    out = write_debug_artifacts(
+        extract_dataset(_golden_pages_ds(), library=GOLDEN_PROFILES),
+        str(tmp_path / "debug"),
+    )
+    arts = []
+    for f in os_mod.listdir(out):
+        with open(os_mod.path.join(out, f)) as fh:
+            arts += [json_mod.loads(line) for line in fh if line.strip()]
+    by_key = {golden_key(a["url"]): a["artifact"] for a in arts}
+    assert len(by_key) == len(golden_corpus())
+    assert "status=ok" in by_key["boilerplate"]
+    assert "   0| The Actual Headline" in by_key["boilerplate"]
+    assert "status=failed_parse" in by_key["pdf-broken"]

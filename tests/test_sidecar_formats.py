@@ -135,3 +135,29 @@ def test_extract_dataset_remote_args(ray_session):
     out = extract_dataset(ray.data.from_arrow(tbl), concurrency=(1, 2),
                           batch_size=2, ray_remote_args={"num_cpus": 0.5})
     assert out.count() == 3
+
+
+def test_typed_post_data_explodes_and_enriches(ray_session):
+    import ray.data
+
+    from xhs_ocr_ray.sources.sidecar_formats import typed_post_data
+
+    rows = [
+        {"app": "weibo", "path": "/c/2024-01-09/9.9.9.9#w1/weibo_data.json",
+         "payload": json.dumps([{"title": "p1", "views": 5},
+                                {"title": "p2", "views": 7}])},
+        {"app": "tiktok", "path": "/c/2024-01-10/8.8.8.8#t1/post_data.json",
+         "payload": json.dumps([{"title": "p3"}])},
+        {"app": "weibo", "path": "/c/2024-01-09/ip#w1/user_info.json",
+         "payload": json.dumps([{"title": "wrong file"}])},  # dropped
+        {"app": "tiktok", "path": "/c/2024-01-10/ip#t1/post_data.json",
+         "payload": json.dumps({"not": "a list"})},  # dropped
+    ]
+    out = typed_post_data(ray.data.from_items(rows)).to_pandas()
+    out = out.sort_values(["app", "post_json"]).reset_index(drop=True)
+    assert len(out) == 3
+    assert list(out["account_id"]) == ["t1", "w1", "w1"]
+    p1 = json.loads(out.iloc[1]["post_json"])
+    # the reference appends device_ip + collect_time to every post dict
+    assert p1["device_ip"] == "9.9.9.9" and p1["collect_time"] == "2024-01-09"
+    assert p1["title"] == "p1" and p1["views"] == 5

@@ -126,6 +126,58 @@ def parse_user_info(app: str, path: str, payload: str | dict) -> dict | None:
     return rec
 
 
+POST_DATA_FILENAME = {"tiktok": "post_data.json", "weibo": "weibo_data.json"}
+
+POST_DATA_SCHEMA = pa.schema(
+    [
+        ("app", pa.string()),
+        ("device_ip", pa.string()),
+        ("account_id", pa.string()),
+        ("collect_time", pa.string()),
+        ("post_json", pa.string()),  # the post dict, metadata appended
+    ]
+)
+
+
+def typed_post_data(ds, *, app_col: str = "app", path_col: str = "path",
+                    payload_col: str = "payload"):
+    """Post-data list sidecars (tiktok ``post_data.json`` / weibo
+    ``weibo_data.json``, core/run.py:240-276): each file is a JSON LIST of
+    post dicts; every post gets ``device_ip`` and ``collect_time`` from the
+    path appended (the reference mutates the dicts in place before sync).
+    One output row per post, the enriched dict passed through as JSON —
+    the reference's downstream schema is config-declared, not fixed here."""
+
+    def explode_batch(batch: pa.Table) -> pa.Table:
+        recs: list[dict] = []
+        for app, path, payload in zip(batch.column(app_col).to_pylist(),
+                                      batch.column(path_col).to_pylist(),
+                                      batch.column(payload_col).to_pylist()):
+            if os.path.basename(path) != POST_DATA_FILENAME.get(app):
+                continue
+            if isinstance(payload, str):
+                try:
+                    payload = json.loads(payload)
+                except ValueError:
+                    continue
+            if not isinstance(payload, list):
+                continue
+            ip, account, date = parse_path_meta(path)
+            for post in payload:
+                if not isinstance(post, dict):
+                    continue
+                post = {**post, "device_ip": ip, "collect_time": date}
+                recs.append(
+                    {"app": app, "device_ip": ip, "account_id": account,
+                     "collect_time": date,
+                     "post_json": json.dumps(post, ensure_ascii=False,
+                                             sort_keys=True)}
+                )
+        return pa.Table.from_pylist(recs, schema=POST_DATA_SCHEMA)
+
+    return ds.map_batches(explode_batch, batch_format="pyarrow")
+
+
 def typed_user_info(ds, *, app_col: str = "app", path_col: str = "path",
                     payload_col: str = "payload"):
     """``map_batches`` transform: (app, path, payload) rows → typed user-info

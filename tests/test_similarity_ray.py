@@ -93,3 +93,29 @@ def test_ivf_index_recall(ray_session):
         exact = set(np.argsort(-(unit @ unit[qi]))[:5].tolist())
         hits += len(set(got) & exact)
     assert hits / 40 > 0.5
+
+
+def test_audio_chunk_windows(ray_session):
+    import ray.data
+
+    from xhs_ocr_ray.stages.multimodal import AudioChunk, synth_media_table
+
+    ds = ray.data.from_arrow(synth_media_table(6))  # 4 video-ish rows w/ dur
+    out = ds.map_batches(
+        AudioChunk, fn_constructor_kwargs={"fake": True, "chunk_ms": 1000},
+        batch_format="pyarrow", batch_size=4, concurrency=(1, 2),
+    ).to_pandas()
+    # dur=0 rows still get one chunk; dur=4000+i*100 rows get ceil(dur/1000)
+    per = out.groupby("media_id").size()
+    assert per[1] == 1 and per[2] == 1  # duration 0
+    assert per[0] == 4  # 4000 ms
+    assert per[3] == 5  # 4300 ms → ceil = 5
+    assert (out[out.media_id == 0]["chunk_start_ms"].tolist()
+            == [0, 1000, 2000, 3000])
+    assert all(len(f) == 13 for f in out["feature"])
+
+    dec = AudioChunk()
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        dec(synth_media_table(2))

@@ -116,6 +116,48 @@ class FrameSample:
         )
 
 
+class AudioChunk:
+    """Actor stage: audio payload → fixed-window chunk features (stubbed
+    decode, real windowing: one output row per ``chunk_ms`` window, last
+    window truncated). The windowing arithmetic, fan-out and schema are the
+    real pipeline; only the codec is faked."""
+
+    def __init__(self, fake: bool = False, chunk_ms: int = 1000,
+                 n_mels: int = 13):
+        self.fake = fake
+        self.chunk_ms = chunk_ms
+        self.n_mels = n_mels
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if not self.fake:
+            raise NotImplementedError(
+                "audio decode unavailable; construct AudioChunk(fake=True)"
+            )
+        out_id, out_start, out_feat = [], [], []
+        for mid, payload, dur in zip(
+            batch.column("media_id").to_pylist(),
+            batch.column("payload").to_pylist(),
+            batch.column("duration_ms").to_pylist(),
+        ):
+            dur = dur or 0
+            n_chunks = max(1, -(-dur // self.chunk_ms))  # ceil; ≥1 per clip
+            for c in range(n_chunks):
+                seed = stable_hash64((payload or b"") + b"a" + bytes([c & 0xFF])) & 0xFFFFFFFF
+                rng = np.random.default_rng(seed)
+                out_id.append(mid)
+                out_start.append(c * self.chunk_ms)
+                out_feat.append(
+                    rng.standard_normal(self.n_mels).astype(np.float32).tolist()
+                )
+        return pa.table(
+            {
+                "media_id": pa.array(out_id, pa.int64()),
+                "chunk_start_ms": pa.array(out_start, pa.int32()),
+                "feature": pa.array(out_feat, pa.list_(pa.float32())),
+            }
+        )
+
+
 def synth_media_table(n: int = 32) -> pa.Table:
     """Deterministic fake media corpus for tests/benches."""
     rows = {

@@ -234,11 +234,19 @@ def _q_ann_index_topk(sf_dir: str):
 
     from xhs_ocr_ray.stages.similarity import LshIndexSearch
 
+    import hashlib
+
     emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     q = emb.filter(lambda r: r["vec_id"] == 0).take(1)[0]["embedding"]
+    tag = hashlib.blake2b(
+        os.path.abspath(sf_dir).encode("utf-8"), digest_size=4
+    ).hexdigest()
     idx = LshIndexSearch(
         _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
         num_planes=4, probe_hamming=4,
+        # deterministic cache dir + reuse: repeated bench/driver runs must
+        # not leak a fresh corpus-sized index per invocation
+        index_dir=f"/tmp/xhs_ann_cache/{tag}_p4s11", reuse_existing=True,
     )
     top = idx.search(q, k=10)
     return pa.table({"vec_id": pa.array([i for i, _ in top], pa.int64())})
@@ -254,11 +262,12 @@ def _ensure_sidecar_jsonl(sf_dir: str) -> str:
 
     import pyarrow.parquet as pq
 
+    fixture_version = 1  # bump when the payload formulas (and oracle) change
     tag = hashlib.blake2b(
         os.path.abspath(sf_dir).encode("utf-8"), digest_size=4
     ).hexdigest()
     cache = os.path.join("/tmp/xhs_sidecar_cache")
-    out = os.path.join(cache, f"{tag}.jsonl")
+    out = os.path.join(cache, f"{tag}_v{fixture_version}.jsonl")
     if os.path.exists(out):
         return out
     os.makedirs(cache, exist_ok=True)

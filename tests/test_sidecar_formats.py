@@ -161,3 +161,16 @@ def test_typed_post_data_explodes_and_enriches(ray_session):
     # the reference appends device_ip + collect_time to every post dict
     assert p1["device_ip"] == "9.9.9.9" and p1["collect_time"] == "2024-01-09"
     assert p1["title"] == "p1" and p1["views"] == 5
+
+
+def test_cn_garbage_counts_are_missing():
+    # parse_cn_number maps garbage to 0.0; the sidecar reader must map it to
+    # MISSING, not a real zero
+    rec = parse_user_info(
+        "xhs", "/c/2024-01-05/ip#a1/profile_url.json",
+        {"user_profile_url": "u", "nickname": "n", "following_count": "私密",
+         "fans": "0", "likes_collect_count": "0万"},
+    )
+    assert rec["follows"] == MISSING  # garbage
+    assert rec["fans"] == 0           # genuine zero
+    assert rec["interaction"] == 0    # genuine zero with unit

@@ -17,9 +17,12 @@ The clock is injectable; tests never sleep.
 from __future__ import annotations
 
 import json
+import logging
 import os
 import time
 from collections.abc import Callable
+
+_LOG = logging.getLogger("xhs_ocr_ray.scheduler")
 
 
 def due_runs(last_run: float | None, now: float, every_s: float,
@@ -28,7 +31,9 @@ def due_runs(last_run: float | None, now: float, every_s: float,
 
     ``last_run=None`` → only the most recent tick (first launch does not
     replay history). A long outage replays at most ``max_catchup`` newest
-    ticks — surfaced by the caller as skipped windows, never silent.
+    ticks; older missed ticks are dropped WITH a logged count (the repo's
+    no-silent-caps duty) — re-run with an explicit ``--since`` window to
+    backfill beyond the cap.
     """
     if every_s <= 0:
         raise ValueError("every_s must be positive")
@@ -42,6 +47,12 @@ def due_runs(last_run: float | None, now: float, every_s: float,
     while t > last_run and len(ticks) < max_catchup:
         ticks.append(t)
         t -= every_s
+    if t > last_run:
+        n_dropped = int((t - last_run) // every_s) + (1 if (t - last_run) % every_s else 0)
+        _LOG.warning(
+            "catch-up capped at %d ticks; %d older missed windows dropped "
+            "(backfill with an explicit --since window)", max_catchup, n_dropped,
+        )
     ticks.reverse()
     return ticks
 

@@ -75,14 +75,24 @@ def parse_path_meta(path: str) -> tuple[str, str, str]:
 def _count(value, *, cn: bool) -> int:
     """Normalize a count field: ints pass through; strings parse (optionally
     via the Chinese-number scalar); absent/unparseable → MISSING."""
+    from xhs_ocr_ray.functions.normalize import _CN_UNITS
+
     if value is None or value == "":
         return MISSING
     if isinstance(value, (int, float)):
         return int(value)
+    s = str(value).strip()
     if cn:
-        return int(parse_cn_number(str(value)))
+        # distinguish garbage from a real zero: parse_cn_number maps
+        # unparseable strings to 0.0, which must become MISSING here
+        core = s[:-1] if s and s[-1] in _CN_UNITS else s
+        try:
+            float(core)
+        except ValueError:
+            return MISSING
+        return int(parse_cn_number(s))
     try:
-        return int(float(value))
+        return int(float(s))
     except ValueError:
         return MISSING
 

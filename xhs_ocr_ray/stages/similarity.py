@@ -130,21 +130,27 @@ class LshIndexSearch:
 
     Build = ONE ``map_batches`` pass hashing the corpus into
     ``2**num_planes`` buckets, written as hive-partitioned parquet
-    (``code=<bucket>/``) — posting lists never touch the driver, and a
-    multi-node cluster builds and probes them in place. A query probes its
-    own bucket plus all buckets within ``probe_hamming`` code distance
-    (partition-pruned read). Recall/latency trade via ``num_planes`` /
-    ``probe_hamming``.
+    (``code=<bucket>/``) — posting lists never touch the driver. A query
+    probes its own bucket plus all buckets within ``probe_hamming`` code
+    distance (partition-pruned read). Recall/latency trade via
+    ``num_planes`` / ``probe_hamming``.
+
+    ``index_dir`` contract: on a multi-node cluster it MUST be shared
+    storage visible to every node AND the driver (S3/NFS); the ``/tmp``
+    default is only correct for single-node sessions. ``reuse_existing``
+    skips the build when a completed index already lives there (the built
+    marker guards against double-writing rows into the same directory).
     """
 
     def __init__(self, ds, *, vec_col: str = "embedding", id_col: str = "vec_id",
                  num_planes: int = 8, probe_hamming: int = 1, seed: int = 11,
-                 index_dir: str | None = None):
+                 index_dir: str | None = None, reuse_existing: bool = False):
         self.vec_col, self.id_col = vec_col, id_col
         self.num_planes = num_planes
         self.probe_hamming = probe_hamming
         self.seed = seed
         self.index_dir = _index_dir(index_dir, "lsh")
+        self.reuse_existing = reuse_existing
         self.planes: np.ndarray | None = None
         self._build(ds)
 
@@ -153,10 +159,21 @@ class LshIndexSearch:
         return (signs.astype(np.int64) * (1 << np.arange(self.num_planes))).sum(axis=1)
 
     def _build(self, ds) -> None:
+        import os
+
         import ray.data
 
         seed, num_planes = self.seed, self.num_planes
         vec_col, id_col = self.vec_col, self.id_col
+        marker = os.path.join(self.index_dir, "_INDEX_BUILT")
+        if self.reuse_existing and os.path.exists(marker):
+            first = ray.data.read_parquet(self.index_dir).take(1)
+            if first:
+                dim = len(np.frombuffer(first[0]["unit"], dtype=np.float32))
+                self.planes = np.random.default_rng(seed).standard_normal(
+                    (dim, num_planes)
+                ).astype(np.float32)
+            return
 
         def bucketize(batch: pa.Table) -> pa.Table:
             mat = _as_matrix(batch.column(vec_col))
@@ -184,12 +201,17 @@ class LshIndexSearch:
         ds.map_batches(bucketize, batch_format="pyarrow").write_parquet(
             self.index_dir, partition_cols=["code"]
         )
-        first = ray.data.read_parquet(self.index_dir).take(1)  # bounded: 1 row
+        try:  # empty input writes no files; read_parquet then raises
+            first = ray.data.read_parquet(self.index_dir).take(1)  # 1 row
+        except Exception:  # noqa: BLE001 — planes stay None, search → []
+            first = []
         if first:
             dim = len(np.frombuffer(first[0]["unit"], dtype=np.float32))
             self.planes = np.random.default_rng(seed).standard_normal(
                 (dim, num_planes)
             ).astype(np.float32)
+            with open(marker, "w") as f:
+                f.write("ok\n")
 
     def _probe_codes(self, code: int) -> list[int]:
         """All codes within ``probe_hamming`` bit flips of ``code``;
@@ -227,6 +249,8 @@ class IvfIndexSearch:
     and writes hive-partitioned parquet posting lists (``cid=<centroid>/``)
     — nothing corpus-sized touches the driver. A query probes only the
     ``nprobe`` nearest centroids' partitions (partition-pruned read).
+    ``index_dir`` must be shared storage on a multi-node cluster (see
+    :class:`LshIndexSearch`).
     """
 
     def __init__(self, ds, *, vec_col: str = "embedding", id_col: str = "vec_id",

@@ -108,6 +108,17 @@ def _q_related_merge(sf_dir: str):
     return related_merge([a, b], ["k"])
 
 
+def _q_related_count(sf_dir: str):
+    """G1 metric: keys contributed by ≥2 tables in the related merge."""
+    import pyarrow as pa
+
+    from xhs_ocr_ray.stages.merge import related_key_count
+
+    a, b = _orders_sides(sf_dir)
+    n = related_key_count([a, b], ["k"])
+    return pa.table({"n_multi": pa.array([n], pa.int64())})
+
+
 def _q_unrelated_merge(sf_dir: str):
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -644,6 +655,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "window_filter": _q_window_filter,
         "related_merge": _q_related_merge,
+        "related_count": _q_related_count,
         "unrelated_merge": _q_unrelated_merge,
         "exact_dedup": _q_exact_dedup,
         "lineage_metrics": _q_lineage_metrics,
@@ -799,6 +811,10 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(NULLIF(b.orderdate, ''), '') AS orderdate
             FROM a FULL OUTER JOIN b ON a.k = b.k
         """,
+        "related_count": (
+            "SELECT CAST(count(*) AS BIGINT) AS n_multi FROM orders "
+            "WHERE o_orderkey % 3 <> 0 AND o_orderkey % 2 = 0"
+        ),
         "unrelated_merge": """
             SELECT c_name AS name, CAST(c_nationkey AS VARCHAR) AS nation,
                    '' AS supp_id

@@ -27,7 +27,7 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 REPLICAS = int(os.environ.get("BENCH_REPLICAS", "64"))
 
 QUERY_NAMES = [
-    "window_filter", "related_merge", "unrelated_merge", "exact_dedup",
+    "window_filter", "related_merge", "related_count", "unrelated_merge", "exact_dedup",
     "lineage_metrics", "pricing_summary", "token_count", "quality_score",
     "fingerprint", "ann_topk", "ann_index_topk", "minhash_dedup", "simhash_dedup",
     "embedding_neardup", "lang_id", "sidecar_join", "sidecar_typed", "semi_join", "anti_join",

@@ -121,3 +121,31 @@ def test_embedding_dedup(ray_session):
     m = {r["vec_id"]: r["cluster_id"] for r in out.take_all()}
     assert m[1] == m[2] == 1
     assert m[3] == 3
+
+
+def test_embedding_dedup_multi_table_recall(ray_session):
+    """OR-ing hyperplane tables only ever ADDS candidate pairs: every pair
+    clustered by the single table stays clustered, and a near-dup pair that
+    the single table's bucketing misses is recovered by the extra tables."""
+    import ray.data
+
+    rng = np.random.default_rng(5)
+    dim, thr = 16, 0.93
+    base = rng.standard_normal((40, dim)).astype(np.float32)
+    items = [{"vec_id": i, "embedding": base[i].tolist()} for i in range(40)]
+    # append near-dup partners (ids 100+i) for the first 20 vectors
+    for i in range(20):
+        near = base[i] + rng.standard_normal(dim).astype(np.float32) * 0.12
+        items.append({"vec_id": 100 + i, "embedding": near.tolist()})
+
+    def clusters(num_tables):
+        ds = ray.data.from_items(items)
+        out = embedding_dedup(ds, "embedding", "vec_id", threshold=thr,
+                              num_planes=10, num_tables=num_tables)
+        return {r["vec_id"]: r["cluster_id"] for r in out.take_all()}
+
+    one, three = clusters(1), clusters(3)
+    merged_one = {k for k, v in one.items() if v != k}
+    merged_three = {k for k, v in three.items() if v != k}
+    assert merged_one <= merged_three  # OR never loses a pair
+    assert len(merged_three) > len(merged_one)  # and recovers missed ones

@@ -471,13 +471,17 @@ def ngram_jaccard_pairs(ds, text_col: str, id_col: str, block_cols: list[str],
 
 def embedding_dedup(ds, vec_col: str, id_col: str, *, threshold: float = 0.95,
                     num_planes: int = 12, seed: int = 7,
-                    max_bucket: int = MAX_BUCKET):
+                    max_bucket: int = MAX_BUCKET, num_tables: int = 1):
     """Near-dup clusters over an embedding column via random-hyperplane LSH.
 
     Vectors are L2-normalized; bucket = sign pattern under ``num_planes``
-    fixed hyperplanes; exact cosine verifies within-bucket pairs. Recall is
-    probabilistic (single table) — the scale path would OR several tables.
-    Pairs and clustering stay distributed (min-label propagation).
+    fixed hyperplanes; exact cosine verifies within-bucket pairs. Single-
+    table recall is probabilistic; ``num_tables > 1`` ORs several
+    independent hyperplane tables (a pair is a candidate if it collides in
+    ANY table — miss probability decays exponentially in the table count)
+    at the cost of ``num_tables`` band rows per vector in the shuffle.
+    Duplicate pairs across tables are harmless to min-label propagation.
+    Pairs and clustering stay distributed.
     """
     from xhs_ocr_ray.stages.components import assign_clusters, connected_components
 
@@ -493,19 +497,28 @@ def embedding_dedup(ds, vec_col: str, id_col: str, *, threshold: float = 0.95,
                              id_col: pa.array([], batch.schema.field(id_col).type),
                              "vec": pa.array([], pa.list_(pa.float32()))})
         if planes is None:
+            # one (dim, num_planes) block per table, all from one fixed seed
             planes = np.random.default_rng(seed).standard_normal(
-                (vecs.shape[1], num_planes)
+                (num_tables, vecs.shape[1], num_planes)
             ).astype(np.float32)
         norms = np.linalg.norm(vecs, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         unit = vecs / norms
-        signs = (unit @ planes) > 0
-        buckets = (signs.astype(np.int64) * (1 << np.arange(num_planes))).sum(axis=1)
+        out_bucket: list[np.ndarray] = []
+        out_ids: list = []
+        out_vec: list = []
+        for t in range(num_tables):
+            signs = (unit @ planes[t]) > 0
+            codes = (signs.astype(np.int64) * (1 << np.arange(num_planes))).sum(axis=1)
+            # table index in the high bits keeps tables' buckets disjoint
+            out_bucket.append(codes + (np.int64(t) << np.int64(num_planes)))
+            out_ids.extend(ids)
+            out_vec.extend(v.tolist() for v in unit)
         return pa.table(
             {
-                "bucket": pa.array(buckets, pa.int64()),
-                id_col: pa.array(ids),
-                "vec": pa.array([v.tolist() for v in unit], pa.list_(pa.float32())),
+                "bucket": pa.array(np.concatenate(out_bucket), pa.int64()),
+                id_col: pa.array(out_ids),
+                "vec": pa.array(out_vec, pa.list_(pa.float32())),
             }
         )
 

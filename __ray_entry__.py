@@ -223,6 +223,19 @@ def _q_fingerprint(sf_dir: str):
     )
 
 
+def _query_vec(sf_dir: str, vec_id: int = 0) -> list:
+    """Fetch ONE query embedding with a predicate-pushdown parquet read
+    (row-group pruned, no Ray stage) — never a row-wise Dataset.filter
+    lambda scanning the whole table through Python."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["embedding"], filters=[("vec_id", "==", vec_id)],
+    )
+    return t.column("embedding")[0].as_py()
+
+
 def _q_ann_topk(sf_dir: str):
     """Brute-force cosine top-10 vs the vec_id=0 embedding (ids only)."""
     import pyarrow as pa
@@ -230,8 +243,7 @@ def _q_ann_topk(sf_dir: str):
     from xhs_ocr_ray.stages.similarity import brute_force_topk
 
     emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    q = emb.filter(lambda r: r["vec_id"] == 0).take(1)[0]["embedding"]
-    top = brute_force_topk(emb, q, k=10)
+    top = brute_force_topk(emb, _query_vec(sf_dir), k=10)
     return pa.table({"vec_id": top.column("vec_id")})
 
 
@@ -247,17 +259,21 @@ def _q_ann_index_topk(sf_dir: str):
 
     import hashlib
 
-    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    q = emb.filter(lambda r: r["vec_id"] == 0).take(1)[0]["embedding"]
+    q = _query_vec(sf_dir)
+    # cache tag keyed on path AND content (size+mtime): a regenerated corpus
+    # at the same path must not reuse a stale index
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
     tag = hashlib.blake2b(
-        os.path.abspath(sf_dir).encode("utf-8"), digest_size=4
+        f"{os.path.abspath(src)}|{st.st_size}|{st.st_mtime_ns}".encode(),
+        digest_size=4,
     ).hexdigest()
     idx = LshIndexSearch(
         _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
         num_planes=4, probe_hamming=4,
         # deterministic cache dir + reuse: repeated bench/driver runs must
-        # not leak a fresh corpus-sized index per invocation
-        index_dir=f"/tmp/xhs_ann_cache/{tag}_p4s11", reuse_existing=True,
+        # not leak a fresh corpus-sized index per invocation (v2: f64 units)
+        index_dir=f"/tmp/xhs_ann_cache/{tag}_p4s11_v2", reuse_existing=True,
     )
     top = idx.search(q, k=10)
     return pa.table({"vec_id": pa.array([i for i, _ in top], pa.int64())})

@@ -23,7 +23,6 @@ from __future__ import annotations
 
 import glob
 import os
-import zlib
 
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -55,26 +54,35 @@ def _read_override(paths: list[str]) -> int | None:
     return None
 
 
+# Bump whenever add_bucket's hash or routing changes: the staged hive layout
+# moves under the same input fingerprint, so the version folds into the
+# _bucketize fingerprint to force stale staged dirs to regenerate.
+BUCKET_LAYOUT_VERSION = 2
+
+
 def add_bucket(batch: pa.Table, num_buckets: int) -> pa.Table:
-    """Stable url-hash bucket (zlib.crc32 — process-independent).
+    """Stable url-hash bucket, fully vectorized (the repo bucketing idiom:
+    ``hash_pandas_object`` siphash with a fixed key — process-independent).
 
     Skew guard: oversized html rows (≥ OVERSIZED_HTML bytes) are routed to a
     DEDICATED bucket range ``[num_buckets, num_buckets + num_buckets//8)``
     so the extract job can give them their own small-batch path without
     re-reading the normal files.
     """
+    import numpy as np
+    import pandas as pd
     import pyarrow.compute as pc
 
-    urls = batch.column("url").to_pylist()
-    sizes = pc.binary_length(batch.column("html")).to_pylist()
+    h = pd.util.hash_pandas_object(
+        batch.column("url").to_pandas(), index=False
+    ).to_numpy()
+    sizes = pc.fill_null(
+        pc.binary_length(batch.column("html")), 0
+    ).to_numpy(zero_copy_only=False)
     n_big = max(1, num_buckets // 8)
-    buckets = []
-    for u, sz in zip(urls, sizes):
-        h = zlib.crc32(u.encode("utf-8"))
-        if sz is not None and sz >= OVERSIZED_HTML:
-            buckets.append(num_buckets + h % n_big)
-        else:
-            buckets.append(h % num_buckets)
+    buckets = np.where(
+        sizes >= OVERSIZED_HTML, num_buckets + h % n_big, h % num_buckets
+    ).astype("int32")
     return batch.append_column("bucket", pa.array(buckets, pa.int32()))
 
 
@@ -89,7 +97,9 @@ def bucketize(input_paths: list[str] | str, staged_dir: str, *,
 
     if isinstance(input_paths, str):
         input_paths = sorted(glob.glob(os.path.join(input_paths, "*.parquet")))
-    fp = ckpt.input_fingerprint(input_paths)
+    # layout version folds into the fingerprint: a hash/routing change in
+    # add_bucket invalidates previously staged dirs even for identical inputs
+    fp = ckpt.input_fingerprint(input_paths) + f":L{BUCKET_LAYOUT_VERSION}"
     if ckpt.is_complete(staged_dir, "_bucketize", fp):
         return staged_dir
     data_dir = os.path.join(staged_dir, "data")

@@ -224,6 +224,10 @@ def assign_clusters(ds, id_col: str, labels_ds):
     def pick(chunk: pd.DataFrame) -> pd.DataFrame:
         base = chunk[chunk["kind"] == 0][["node"]]
         lab = chunk[chunk["kind"] == 1][["node", "label"]]
+        if pd.api.types.is_integer_dtype(lab["label"].dtype):
+            # nullable Int64 keeps missing labels out of float64: a plain
+            # left merge would upcast and silently corrupt ids ≥ 2^53
+            lab = lab.assign(label=lab["label"].astype("Int64"))
         m = base.merge(lab, on="node", how="left")
         m["label"] = m["label"].fillna(m["node"]).astype(m["node"].dtype)
         return pd.DataFrame({id_col: m["node"], "cluster_id": m["label"]})

@@ -324,6 +324,15 @@ def minhash_lsh_dedup(ds, text_col: str, id_col: str, *, num_perm: int = 64,
 
     edges = with_ab.map_batches(verify, batch_format="pyarrow")
     labels = connected_components(edges)
+    # connected_components materializes the whole pair pipeline, so the sig
+    # parquet is fully consumed by this point: reclaim an auto-created spill
+    # dir immediately (repeated bench/driver runs must not accumulate
+    # num_perm×8 B/doc of /tmp parquet per invocation). Caller-provided dirs
+    # are caller-owned and left alone.
+    if sig_spill_dir is None:
+        import shutil
+
+        shutil.rmtree(spill, ignore_errors=True)
     return assign_clusters(ds, id_col, labels)
 
 

@@ -12,6 +12,7 @@
 from __future__ import annotations
 
 import heapq
+import os
 
 import numpy as np
 import pyarrow as pa
@@ -96,9 +97,12 @@ def _probe_topk(index_dir: str, part_col: str, part_values: list[int],
         if not ids:
             return pa.table({id_col: batch.column(id_col),
                              "sim": pa.array([], pa.float64())})
+        # unit vectors are stored as float64 bytes: the probe must rank in
+        # the same precision as the brute-force/DuckDB oracle or near-tied
+        # similarities can swap (ADVICE r02)
         mat = np.frombuffer(
-            b"".join(batch.column("unit").to_pylist()), dtype=np.float32
-        ).reshape(len(ids), -1).astype(np.float64)
+            b"".join(batch.column("unit").to_pylist()), dtype=np.float64
+        ).reshape(len(ids), -1)
         sims = mat @ qv
         order = np.lexsort((np.asarray(ids), -sims))[:k]
         return pa.table(
@@ -160,6 +164,8 @@ class LshIndexSearch:
 
     def _build(self, ds) -> None:
         import os
+        import shutil
+        import uuid
 
         import ray.data
 
@@ -169,7 +175,7 @@ class LshIndexSearch:
         if self.reuse_existing and os.path.exists(marker):
             first = ray.data.read_parquet(self.index_dir).take(1)
             if first:
-                dim = len(np.frombuffer(first[0]["unit"], dtype=np.float32))
+                dim = len(np.frombuffer(first[0]["unit"], dtype=np.float64))
                 self.planes = np.random.default_rng(seed).standard_normal(
                     (dim, num_planes)
                 ).astype(np.float32)
@@ -186,32 +192,49 @@ class LshIndexSearch:
             ).astype(np.float32)
             norms = np.linalg.norm(mat, axis=1, keepdims=True)
             norms[norms == 0] = 1.0
-            unit = (mat / norms).astype(np.float32)
-            signs = (unit @ planes) > 0
+            # codes hash in float32 (cheap, only picks the bucket); stored
+            # vectors are float64 so probe ranking matches the double-
+            # precision brute-force/DuckDB oracle exactly (ADVICE r02)
+            unit32 = (mat / norms).astype(np.float32)
+            signs = (unit32 @ planes) > 0
             codes = (signs.astype(np.int64) * (1 << np.arange(num_planes))).sum(axis=1)
+            unit = (mat.astype(np.float64)
+                    / np.linalg.norm(mat.astype(np.float64), axis=1,
+                                     keepdims=True).clip(min=1e-300))
             return pa.table(
                 {
                     "code": pa.array(codes, pa.int64()),
                     id_col: batch.column(id_col),
-                    # raw float32 bytes: plain binary shuffles/stores cleanly
+                    # raw float64 bytes: plain binary shuffles/stores cleanly
                     "unit": pa.array([v.tobytes() for v in unit], pa.binary()),
                 }
             )
 
-        ds.map_batches(bucketize, batch_format="pyarrow").write_parquet(
-            self.index_dir, partition_cols=["code"]
-        )
-        try:  # empty input writes no files; read_parquet then raises
-            first = ray.data.read_parquet(self.index_dir).take(1)  # 1 row
-        except Exception:  # noqa: BLE001 — planes stay None, search → []
-            first = []
-        if first:
-            dim = len(np.frombuffer(first[0]["unit"], dtype=np.float32))
-            self.planes = np.random.default_rng(seed).standard_normal(
-                (dim, num_planes)
-            ).astype(np.float32)
-            with open(marker, "w") as f:
-                f.write("ok\n")
+        # Build into a temp sibling dir, then atomically swap into place: an
+        # interrupted build must never leave partial parquet under index_dir
+        # (a retry with reuse_existing would APPEND a second full copy of
+        # every row — write_parquet never clears existing files; ADVICE r02).
+        tmp_dir = f"{self.index_dir}.build.{uuid.uuid4().hex}"
+        try:
+            ds.map_batches(bucketize, batch_format="pyarrow").write_parquet(
+                tmp_dir, partition_cols=["code"]
+            )
+            try:  # empty input writes no files; read_parquet then raises
+                first = ray.data.read_parquet(tmp_dir).take(1)  # 1 row
+            except Exception:  # noqa: BLE001 — planes stay None, search → []
+                first = []
+            if first:
+                dim = len(np.frombuffer(first[0]["unit"], dtype=np.float64))
+                self.planes = np.random.default_rng(seed).standard_normal(
+                    (dim, num_planes)
+                ).astype(np.float32)
+                with open(os.path.join(tmp_dir, "_INDEX_BUILT"), "w") as f:
+                    f.write("ok\n")
+                if os.path.isdir(self.index_dir):
+                    shutil.rmtree(self.index_dir)
+                os.rename(tmp_dir, self.index_dir)
+        finally:
+            shutil.rmtree(tmp_dir, ignore_errors=True)
 
     def _probe_codes(self, code: int) -> list[int]:
         """All codes within ``probe_hamming`` bit flips of ``code``;
@@ -293,17 +316,33 @@ class IvfIndexSearch:
             nrm[nrm == 0] = 1.0
             u = (m / nrm).astype(np.float32)
             cid = (u @ cents.T).argmax(axis=1).astype(np.int32)
+            # float64 storage, float32 assignment (see LshIndexSearch)
+            u64 = (m.astype(np.float64)
+                   / np.linalg.norm(m.astype(np.float64), axis=1,
+                                    keepdims=True).clip(min=1e-300))
             return pa.table(
                 {
                     "cid": pa.array(cid),
                     id_col: batch.column(id_col),
-                    "unit": pa.array([v.tobytes() for v in u], pa.binary()),
+                    "unit": pa.array([v.tobytes() for v in u64], pa.binary()),
                 }
             )
 
-        ds.map_batches(assign_rows, batch_format="pyarrow").write_parquet(
-            self.index_dir, partition_cols=["cid"]
-        )
+        # atomic build (see LshIndexSearch._build): temp dir + rename
+        import shutil
+        import uuid
+
+        tmp_dir = f"{self.index_dir}.build.{uuid.uuid4().hex}"
+        try:
+            ds.map_batches(assign_rows, batch_format="pyarrow").write_parquet(
+                tmp_dir, partition_cols=["cid"]
+            )
+            if os.path.isdir(tmp_dir):
+                if os.path.isdir(self.index_dir):
+                    shutil.rmtree(self.index_dir)
+                os.rename(tmp_dir, self.index_dir)
+        finally:
+            shutil.rmtree(tmp_dir, ignore_errors=True)
 
     def search(self, query_vec, k: int = 10) -> list[tuple]:
         q = np.asarray(query_vec, dtype=np.float32)

@@ -34,10 +34,14 @@ def _docs():
 
 
 def test_minhash_lsh_clusters_near_dups(ray_session):
-    out = minhash_lsh_dedup(_docs(), "text", "doc_id", threshold=0.6)
-    m = {r["doc_id"]: r["cluster_id"] for r in out.take_all()}
-    assert m[1] == m[2] == m[4] == 1
-    assert m[3] == 3
+    # broadcast_sigs default → small-side broadcast verify; 0 forces the
+    # distributed attach-shuffle path. Both must produce identical clusters.
+    for thresh in (200_000, 0):
+        out = minhash_lsh_dedup(_docs(), "text", "doc_id", threshold=0.6,
+                                broadcast_sigs=thresh)
+        m = {r["doc_id"]: r["cluster_id"] for r in out.take_all()}
+        assert m[1] == m[2] == m[4] == 1, f"broadcast_sigs={thresh}"
+        assert m[3] == 3, f"broadcast_sigs={thresh}"
 
 
 def test_simhash_clusters_near_dups(ray_session):

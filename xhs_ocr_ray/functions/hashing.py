@@ -49,15 +49,29 @@ def minhash_permutations(num_perm: int, seed: int = 1) -> tuple[np.ndarray, np.n
 
 
 def shingles(text: str, k: int = 5) -> np.ndarray:
-    """Character k-shingle 32-bit hashes of ``text`` (unique)."""
-    if len(text) < k:
-        basis = [text] if text else []
-    else:
-        basis = [text[i : i + k] for i in range(len(text) - k + 1)]
-    if not basis:
+    """Character k-shingle 32-bit hashes of ``text`` (unique), vectorized.
+
+    One utf-32 view of the text → sliding codepoint windows → a polynomial
+    uint64 fold over the k columns + a splitmix64 avalanche, truncated to
+    32 bits. No per-shingle hashlib call (that was the per-document hot
+    loop of minhash signing); identical shingles hash identically on every
+    process/machine (pure arithmetic, no salted state)."""
+    if not text:
         return np.empty(0, dtype=np.uint64)
-    hs = {stable_hash64(s) & 0xFFFFFFFF for s in basis}
-    return np.fromiter(hs, dtype=np.uint64, count=len(hs))
+    cp = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+    if len(cp) < k:
+        win = cp[None, :]
+    else:
+        win = np.lib.stride_tricks.sliding_window_view(cp, k)
+    h = np.zeros(win.shape[0], dtype=np.uint64)
+    for j in range(win.shape[1]):  # k iterations, each vectorized over rows
+        h = h * np.uint64(0x100000001B3) + win[:, j]  # uint64 wraparound fold
+    h ^= h >> np.uint64(30)
+    h *= np.uint64(0xBF58476D1CE4E5B9)
+    h ^= h >> np.uint64(27)
+    h *= np.uint64(0x94D049BB133111EB)
+    h ^= h >> np.uint64(31)
+    return np.unique(h & np.uint64(0xFFFFFFFF))
 
 
 def minhash_signature(shingle_hashes: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:

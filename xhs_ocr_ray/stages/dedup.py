@@ -36,7 +36,6 @@ from xhs_ocr_ray.functions.hashing import (
     minhash_signature,
     shingles,
     simhash64,
-    stable_hash64,
 )
 
 MAX_BUCKET = 256  # max docs considered per LSH bucket (skew guard)
@@ -111,6 +110,29 @@ def _union_find(pairs: list[tuple]) -> dict:
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
     return {x: find(x) for x in parent}
+
+
+def _binary_matrix(col, width: int) -> np.ndarray:
+    """``(n, width)`` uint8 matrix of a fixed-width binary column, read
+    straight from the Arrow buffers — no ``to_pylist()`` / per-row bytes
+    objects (that round-trip was the minhash verify hot spot). Callers
+    reinterpret with ``.view(np.uint64)`` / ``.view(np.float32)``."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(arr)
+    if n == 0:
+        return np.empty((0, width), dtype=np.uint8)
+    off_dtype = np.int64 if pa.types.is_large_binary(arr.type) else np.int32
+    offs = np.frombuffer(arr.buffers()[1], dtype=off_dtype)[
+        arr.offset : arr.offset + n + 1
+    ]
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    if int(offs[-1]) - int(offs[0]) == n * width:
+        flat = data[int(offs[0]) : int(offs[-1])]
+    else:  # defensive: rows not uniformly packed → gather
+        idx = (offs[:-1].astype(np.int64)[:, None]
+               + np.arange(width, dtype=np.int64)[None, :]).ravel()
+        flat = data[idx]
+    return np.ascontiguousarray(flat).reshape(n, width)
 
 
 def _arrow_schema(ds) -> pa.Schema:
@@ -193,20 +215,31 @@ def _bucket_attach(left_ds, key_col: str, right_ds, right_key: str,
 def minhash_lsh_dedup(ds, text_col: str, id_col: str, *, num_perm: int = 64,
                       bands: int = 16, shingle_k: int = 5, threshold: float = 0.7,
                       max_bucket: int = MAX_BUCKET,
-                      sig_spill_dir: str | None = None):
+                      sig_spill_dir: str | None = None,
+                      broadcast_sigs: int = 200_000):
     """Near-dup clusters: returns a Dataset ``(id_col, cluster_id)`` where
     ``cluster_id`` is the smallest member id of the duplicate cluster
     (singletons map to themselves).
 
-    Fully distributed (no driver materialization anywhere): signatures spill
-    to parquet (consumed twice — band explode and pair verification), the
-    candidate-pair set stays a Dataset through dedup → signature attach →
-    verification, and clustering is min-label propagation
+    Fully distributed (no unbounded driver materialization): signatures
+    spill to parquet (consumed twice — band explode and pair verification),
+    the candidate-pair set stays a Dataset through dedup → signature attach
+    → verification, and clustering is min-label propagation
     (:func:`xhs_ocr_ray.stages.components.connected_components`).
+
+    ``broadcast_sigs``: when the corpus has at most this many documents, the
+    signature table (num_perm×8 B + id per doc) is broadcast once via
+    ``ray.put`` and pairs verify against it inside ``map_batches`` — saving
+    the two bucketed attach shuffles whose fixed latency dominates small
+    runs. Above the threshold the distributed attach path runs (the 100-TB
+    shape); 0 forces it (tests do). The threshold is an explicit, bounded
+    small-side guard — the same doctrine as ``merge.broadcast_join``.
     """
     import os
     import tempfile
     import uuid
+
+    import ray
 
     import ray.data
 
@@ -241,23 +274,36 @@ def minhash_lsh_dedup(ds, text_col: str, id_col: str, *, num_perm: int = 64,
     sig_ds = ray.data.read_parquet(spill)
 
     def band_rows(batch: pa.Table) -> pa.Table:
-        """(band_key, kb, id) — narrow rows for the candidate shuffle."""
-        ids = batch.column(id_col).to_pylist()
-        sigs = batch.column("sig").to_pylist()
-        out_band: list[int] = []
-        out_id: list = []
-        for i, sig in zip(ids, sigs):
-            arr = np.frombuffer(sig, dtype=np.uint64)
-            for b in range(bands):
-                chunk = arr[b * rows_per_band : (b + 1) * rows_per_band]
-                out_band.append(stable_hash64(bytes([b]) + chunk.tobytes()))
-                out_id.append(i)
-        bk = np.asarray(out_band, dtype=np.uint64)
+        """(band_key, kb, id) — narrow rows for the candidate shuffle.
+
+        Vectorized end to end: one uint64 view of every signature, a
+        multiply-xor fold over each band's columns (equal band chunks →
+        equal key; the key is internal, it only needs stable uniformity),
+        ids gathered with an Arrow ``take`` — no per-row Python, no
+        per-band hashlib call."""
+        n = batch.num_rows
+        id_arr = batch.column(id_col).combine_chunks()
+        if n == 0:
+            return pa.table({"band_key": pa.array([], pa.uint64()),
+                             "__kb": pa.array([], pa.int32()),
+                             id_col: id_arr})
+        sigs = _binary_matrix(batch.column("sig"), num_perm * 8).view(np.uint64)
+        chunks = sigs.reshape(n, bands, rows_per_band)
+        h = np.broadcast_to(
+            (np.arange(bands, dtype=np.uint64) + np.uint64(1))
+            * np.uint64(0x9E3779B97F4A7C15),
+            (n, bands),
+        ).copy()  # seed per band index keeps bands' key spaces apart
+        for r in range(rows_per_band):
+            h = (h ^ chunks[:, :, r]) * np.uint64(0xFF51AFD7ED558CCD)
+            h ^= h >> np.uint64(33)
+        bk = h.ravel()  # row-major: matches np.repeat(ids, bands)
+        take_idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), bands))
         return pa.table(
             {
                 "band_key": pa.array(bk),
-                "__kb": pa.array((bk % nb).astype("int32")),
-                id_col: pa.array(out_id),
+                "__kb": pa.array((bk % np.uint64(nb)).astype("int32")),
+                id_col: id_arr.take(take_idx),
             }
         )
 
@@ -292,48 +338,80 @@ def minhash_lsh_dedup(ds, text_col: str, id_col: str, *, num_perm: int = 64,
     )
     # The same pair can surface from several band buckets; dedup is folded
     # into the first attach (pairs co-locate by their "a" join key there),
-    # saving a dedicated shuffle stage.
+    # saving a dedicated shuffle stage. (Broadcast path: duplicates are
+    # verified twice — cheap — and are harmless to label propagation.)
 
-    # Verification: attach both signatures by bucketed join, compare
-    # vectorized per batch — pairs never leave the cluster.
-    id_type = {f.name: f.type for f in _arrow_schema(ds)}[id_col]
-    pair_schema = pa.schema([("a", id_type), ("b", id_type)])
-    with_a = _bucket_attach(cand, "a", sig_ds, id_col, "sig", "sig_a",
-                            left_schema=pair_schema, val_type=pa.binary(),
-                            dedup_left=True)
-    with_ab = _bucket_attach(
-        with_a, "b", sig_ds, id_col, "sig", "sig_b",
-        left_schema=pair_schema.append(pa.field("sig_a", pa.binary())),
-        val_type=pa.binary(),
-    )
+    n_docs = sig_ds.count()  # parquet metadata only, no scan
+    if n_docs <= broadcast_sigs:
+        # Small-side verify: ship the whole signature table once (ray.put,
+        # zero-copy numpy on read) and verify pairs inside map_batches — no
+        # attach shuffles. Bounded by construction: broadcast_sigs docs ×
+        # (num_perm×8 B + id).
+        import pyarrow.parquet as pq_mod
 
-    def verify(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return pa.table({"a": batch.column("a"), "b": batch.column("b")})
-        sa = np.frombuffer(
-            b"".join(batch.column("sig_a").to_pylist()), dtype=np.uint64
-        ).reshape(batch.num_rows, num_perm)
-        sb = np.frombuffer(
-            b"".join(batch.column("sig_b").to_pylist()), dtype=np.uint64
-        ).reshape(batch.num_rows, num_perm)
-        est = (sa == sb).mean(axis=1)
-        keep = pa.array(est >= threshold)
-        return pa.table(
-            {"a": batch.column("a").filter(keep), "b": batch.column("b").filter(keep)}
+        sig_tbl = pq_mod.read_table(spill)
+        idx = pd.Index(sig_tbl.column(id_col).to_pandas())
+        mat = _binary_matrix(sig_tbl.column("sig"), num_perm * 8).view(np.uint64)
+        handle = ray.put((idx, mat))
+
+        def verify_small(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return pa.table({"a": batch.column("a"), "b": batch.column("b")})
+            sidx, smat = ray.get(handle)
+            ia = sidx.get_indexer(batch.column("a").to_pandas())
+            ib = sidx.get_indexer(batch.column("b").to_pandas())
+            ok = (ia >= 0) & (ib >= 0)
+            est = np.zeros(batch.num_rows)
+            est[ok] = (smat[ia[ok]] == smat[ib[ok]]).mean(axis=1)
+            keep = pa.array(est >= threshold)
+            return pa.table({"a": batch.column("a").filter(keep),
+                             "b": batch.column("b").filter(keep)})
+
+        edges = cand.map_batches(verify_small, batch_format="pyarrow")
+    else:
+        # Scale path: attach both signatures by bucketed join, compare
+        # vectorized per batch — pairs never leave the cluster. (Schema from
+        # sig_ds: probing ds.schema() could execute the upstream pipeline.)
+        id_type = {f.name: f.type for f in _arrow_schema(sig_ds)}[id_col]
+        pair_schema = pa.schema([("a", id_type), ("b", id_type)])
+        with_a = _bucket_attach(cand, "a", sig_ds, id_col, "sig", "sig_a",
+                                left_schema=pair_schema, val_type=pa.binary(),
+                                dedup_left=True)
+        with_ab = _bucket_attach(
+            with_a, "b", sig_ds, id_col, "sig", "sig_b",
+            left_schema=pair_schema.append(pa.field("sig_a", pa.binary())),
+            val_type=pa.binary(),
         )
 
-    edges = with_ab.map_batches(verify, batch_format="pyarrow")
+        def verify(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return pa.table({"a": batch.column("a"), "b": batch.column("b")})
+            sa = _binary_matrix(batch.column("sig_a"), num_perm * 8).view(np.uint64)
+            sb = _binary_matrix(batch.column("sig_b"), num_perm * 8).view(np.uint64)
+            est = (sa == sb).mean(axis=1)
+            keep = pa.array(est >= threshold)
+            return pa.table(
+                {"a": batch.column("a").filter(keep),
+                 "b": batch.column("b").filter(keep)}
+            )
+
+        edges = with_ab.map_batches(verify, batch_format="pyarrow")
+    # Cluster assignment reads ids from the spilled signature set (column-
+    # pruned read, 8 B+id per doc) — NEVER from ``ds``: the input pipeline
+    # is consumed exactly once, so an expensive upstream (a derived corpus,
+    # a full extract) is not re-executed for the id column.
+    ids_ds = sig_ds.select_columns([id_col]).materialize()
     labels = connected_components(edges)
-    # connected_components materializes the whole pair pipeline, so the sig
-    # parquet is fully consumed by this point: reclaim an auto-created spill
-    # dir immediately (repeated bench/driver runs must not accumulate
-    # num_perm×8 B/doc of /tmp parquet per invocation). Caller-provided dirs
-    # are caller-owned and left alone.
+    # connected_components materializes the whole pair pipeline and ids_ds
+    # is pinned, so the sig parquet is fully consumed by this point: reclaim
+    # an auto-created spill dir immediately (repeated bench/driver runs must
+    # not accumulate num_perm×8 B/doc of /tmp parquet per invocation).
+    # Caller-provided dirs are caller-owned and left alone.
     if sig_spill_dir is None:
         import shutil
 
         shutil.rmtree(spill, ignore_errors=True)
-    return assign_clusters(ds, id_col, labels)
+    return assign_clusters(ids_ds, id_col, labels)
 
 
 # --------------------------------------------------------------------------
@@ -344,27 +422,49 @@ def simhash_dedup(ds, text_col: str, id_col: str, *, max_hamming: int = 3,
                   max_bucket: int = MAX_BUCKET):
     """Near-dup clusters by 64-bit SimHash; 4×16-bit band buckets guarantee
     recall for hamming ≤ 3 (pigeonhole over 4 bands). Pairs and clustering
-    stay distributed (min-label propagation, no driver collection)."""
+    stay distributed (min-label propagation, no driver collection).
+
+    The input is consumed exactly ONCE: the narrow (id, sig) set is
+    materialized (16 B/doc — the bounded frontier, not the corpus) and both
+    the band explode and the final cluster assignment read from it, so an
+    expensive upstream pipeline is never re-executed."""
     from xhs_ocr_ray.stages.components import assign_clusters, connected_components
 
     nb = default_num_buckets()  # resolved ONCE on the driver per run
 
     def sig_rows(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_pylist()
+        ids = batch.column(id_col).combine_chunks()
         texts = batch.column(text_col).to_pylist()
-        out_band, out_id, out_sig = [], [], []
-        for i, text in zip(ids, texts):
-            sh = simhash64((text or "").split())
-            for b in range(4):
-                chunk = (sh >> (16 * b)) & 0xFFFF
-                out_band.append((b << 16) | chunk)
-                out_id.append(i)
-                out_sig.append(sh)
+        sigs = np.fromiter(
+            (simhash64((t or "").split()) for t in texts),
+            dtype=np.uint64, count=len(texts),
+        )
+        return pa.table({id_col: ids, "sig": pa.array(sigs)})
+
+    sig_ds = ds.map_batches(
+        sig_rows, batch_format="pyarrow", batch_size=1024
+    ).materialize()
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        """4 narrow rows per doc — vectorized band/bucket arithmetic."""
+        n = batch.num_rows
+        id_arr = batch.column(id_col).combine_chunks()
+        if n == 0:
+            return pa.table({"band_key": pa.array([], pa.int64()),
+                             id_col: id_arr,
+                             "sig": batch.column("sig"),
+                             "__kb": pa.array([], pa.int32())})
+        sig = batch.column("sig").to_numpy(zero_copy_only=False)
+        b_idx = np.arange(4, dtype=np.uint64)
+        chunks = (sig[:, None] >> (np.uint64(16) * b_idx[None, :])) & np.uint64(0xFFFF)
+        bk = ((b_idx[None, :] << np.uint64(16)) | chunks).astype(np.int64).ravel()
+        take_idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), 4))
         return pa.table(
             {
-                "band_key": pa.array(out_band, pa.int64()),
-                id_col: pa.array(out_id),
-                "sig": pa.array(out_sig, pa.uint64()),
+                "band_key": pa.array(bk, pa.int64()),
+                id_col: id_arr.take(take_idx),
+                "sig": pa.array(np.repeat(sig, 4)),
+                "__kb": pa.array((bk % nb).astype("int32")),
             }
         )
 
@@ -392,21 +492,14 @@ def simhash_dedup(ds, text_col: str, id_col: str, *, max_hamming: int = 3,
         return pd.DataFrame({"a": arr[0], "b": arr[1]})
 
     pair_ds = (
-        ds.map_batches(sig_rows, batch_format="pyarrow", batch_size=1024)
-        .map_batches(
-            lambda b: b.append_column(
-                "__kb", pa.array((b.column("band_key").to_numpy(zero_copy_only=False)
-                                  % nb).astype("int32"))
-            ),
-            batch_format="pyarrow",
-        )
+        sig_ds.map_batches(band_rows, batch_format="pyarrow")
         .groupby("__kb")
         .map_groups(coarse_pairs, batch_format="pandas")
     )
     # duplicate pairs across band buckets are harmless to min-label
     # propagation — no dedup shuffle needed before clustering.
     labels = connected_components(pair_ds)
-    return assign_clusters(ds, id_col, labels)
+    return assign_clusters(sig_ds, id_col, labels)
 
 
 # --------------------------------------------------------------------------
@@ -495,39 +588,61 @@ def embedding_dedup(ds, vec_col: str, id_col: str, *, threshold: float = 0.95,
     from xhs_ocr_ray.stages.components import assign_clusters, connected_components
 
     nb = default_num_buckets()  # resolved ONCE on the driver per run
-    planes: np.ndarray | None = None  # lazily sized from the first batch
 
-    def sig_rows(batch: pa.Table) -> pa.Table:
-        nonlocal planes
-        ids = batch.column(id_col).to_pylist()
+    def unit_rows(batch: pa.Table) -> pa.Table:
+        """(id, unit) one narrow row per vector; unit = L2-normalized
+        float32 BYTES (a fixed-length list column would be promoted to a
+        tensor-extension type that breaks shuffle block normalization)."""
+        ids = batch.column(id_col).combine_chunks()
         vecs = np.array(batch.column(vec_col).to_pylist(), dtype=np.float32)
         if vecs.ndim != 2 or vecs.shape[0] == 0:
-            return pa.table({"bucket": pa.array([], pa.int64()),
-                             id_col: pa.array([], batch.schema.field(id_col).type),
-                             "vec": pa.array([], pa.list_(pa.float32()))})
-        if planes is None:
-            # one (dim, num_planes) block per table, all from one fixed seed
-            planes = np.random.default_rng(seed).standard_normal(
-                (num_tables, vecs.shape[1], num_planes)
-            ).astype(np.float32)
+            return pa.table({id_col: ids.take(pa.array([], pa.int64())),
+                             "unit": pa.array([], pa.binary())})
         norms = np.linalg.norm(vecs, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
-        unit = vecs / norms
+        unit = (vecs / norms).astype(np.float32)
+        return pa.table(
+            {id_col: ids, "unit": pa.array([v.tobytes() for v in unit], pa.binary())}
+        )
+
+    # The input is consumed exactly ONCE: the normalized vectors are
+    # materialized (dim×4 B/doc) and reused by the band explode and the
+    # final cluster assignment — an expensive upstream pipeline never
+    # re-executes. (At extreme scale swap this for a parquet spill, as
+    # minhash_lsh_dedup does for its signatures.)
+    unit_ds = ds.map_batches(
+        unit_rows, batch_format="pyarrow", batch_size=1024
+    ).materialize()
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        id_arr = batch.column(id_col).combine_chunks()
+        unit_arr = batch.column("unit").combine_chunks()
+        if n == 0:
+            return pa.table({"bucket": pa.array([], pa.int64()),
+                             id_col: id_arr, "unit": unit_arr,
+                             "__kb": pa.array([], pa.int32())})
+        unit = _binary_matrix(
+            unit_arr, len(unit_arr[0].as_py())
+        ).view(np.float32)
+        # one (dim, num_planes) block per table, all from one fixed seed
+        planes = np.random.default_rng(seed).standard_normal(
+            (num_tables, unit.shape[1], num_planes)
+        ).astype(np.float32)
         out_bucket: list[np.ndarray] = []
-        out_ids: list = []
-        out_vec: list = []
         for t in range(num_tables):
             signs = (unit @ planes[t]) > 0
             codes = (signs.astype(np.int64) * (1 << np.arange(num_planes))).sum(axis=1)
             # table index in the high bits keeps tables' buckets disjoint
             out_bucket.append(codes + (np.int64(t) << np.int64(num_planes)))
-            out_ids.extend(ids)
-            out_vec.extend(v.tolist() for v in unit)
+        bucket = np.concatenate(out_bucket)
+        take_idx = pa.array(np.tile(np.arange(n, dtype=np.int64), num_tables))
         return pa.table(
             {
-                "bucket": pa.array(np.concatenate(out_bucket), pa.int64()),
-                id_col: pa.array(out_ids),
-                "vec": pa.array(out_vec, pa.list_(pa.float32())),
+                "bucket": pa.array(bucket, pa.int64()),
+                id_col: id_arr.take(take_idx),
+                "unit": unit_arr.take(take_idx),
+                "__kb": pa.array((bucket % nb).astype("int32")),
             }
         )
 
@@ -541,7 +656,9 @@ def embedding_dedup(ds, vec_col: str, id_col: str, *, threshold: float = 0.95,
                 n_hot += 1
             rows = group.head(max_bucket)
             ids = rows[id_col].tolist()
-            mat = np.stack([np.asarray(v, dtype=np.float32) for v in rows["vec"]])
+            mat = np.frombuffer(
+                b"".join(rows["unit"]), dtype=np.float32
+            ).reshape(len(ids), -1)
             sims = mat @ mat.T
             idx_a, idx_b = np.triu_indices(len(ids), k=1)
             hits = sims[idx_a, idx_b] >= threshold
@@ -556,16 +673,9 @@ def embedding_dedup(ds, vec_col: str, id_col: str, *, threshold: float = 0.95,
         return pd.DataFrame({"a": arr[0], "b": arr[1]})
 
     pair_ds = (
-        ds.map_batches(sig_rows, batch_format="pyarrow", batch_size=1024)
-        .map_batches(
-            lambda b: b.append_column(
-                "__kb", pa.array((b.column("bucket").to_numpy(zero_copy_only=False)
-                                  % nb).astype("int32"))
-            ),
-            batch_format="pyarrow",
-        )
+        unit_ds.map_batches(band_rows, batch_format="pyarrow")
         .groupby("__kb")
         .map_groups(coarse_pairs, batch_format="pandas")
     )
     labels = connected_components(pair_ds)
-    return assign_clusters(ds, id_col, labels)
+    return assign_clusters(unit_ds, id_col, labels)

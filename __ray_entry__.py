@@ -657,6 +657,36 @@ def _q_ngram_jaccard(sf_dir: str):
     )
 
 
+def _q_png_features(sf_dir: str):
+    """Multimodal decode path, REAL pixels end to end: synthesize a PNG per
+    document (closed-form geometry/filters/colors in doc_id,
+    sources/media.py), decode with the pure-Python codec inside the
+    actor-pool ImageDecode stage, emit exact dims + mean pixel value."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from xhs_ocr_ray.sources.media import png_media_from_documents
+    from xhs_ocr_ray.stages.multimodal import ImageDecode
+
+    return (
+        _read(sf_dir, "documents", columns=["doc_id"])
+        .map_batches(png_media_from_documents, batch_format="pyarrow")
+        .map_batches(ImageDecode, batch_format="pyarrow", batch_size=64,
+                     concurrency=(1, 4))
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "media_id": b.column("media_id"),
+                    "width": pc.cast(b.column("dec_width"), pa.int64()),
+                    "height": pc.cast(b.column("dec_height"), pa.int64()),
+                    "mean_val": b.column("mean_val"),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
 def _q_lang_id(sf_dir: str):
     from xhs_ocr_ray.stages.text_analysis import LangId
 
@@ -699,6 +729,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": _q_embedding_neardup,
         "ngram_jaccard": _q_ngram_jaccard,
         "lang_id": _q_lang_id,
+        "png_features": _q_png_features,
     }
 
 
@@ -1008,6 +1039,20 @@ def oracle_sql() -> dict[str, str]:
                        - length(list_intersect(a.grams, b.grams))) >= 0.3
         """,
         "lang_id": _lang_id_sql(),
+        # -- PNG synthesis + decode are closed-form in doc_id (sources/media.py)
+        "png_features": """
+            WITH p AS (
+              SELECT doc_id,
+                     16 + doc_id % 7 AS w, 12 + doc_id % 5 AS h,
+                     doc_id % 256 AS c1, (doc_id * 7) % 251 AS c2
+              FROM documents
+            )
+            SELECT doc_id AS media_id,
+                   CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+                   CAST(c1 * (w // 2) * h + c2 * (w - w // 2) * h AS DOUBLE)
+                     / (w * h) AS mean_val
+            FROM p
+        """,
         # -- flagship pipeline: page synthesis + extraction are deterministic
         # in doc_id, so the per-url metrics have a closed form
         "extract_pages": _PAGES_CTE + """

@@ -1,0 +1,53 @@
+"""Deterministic synthetic PNG media corpus (multimodal-column fixture).
+
+``png_media_from_documents`` wraps every documents row into a real PNG
+payload whose geometry and pixels are closed-form in ``doc_id`` — so the
+decode → feature pipeline has an exact SQL oracle:
+
+- width  = 16 + doc_id % 7, height = 12 + doc_id % 5 (grayscale);
+- left half (x < width//2) is constant ``c1 = doc_id % 256``, right half is
+  ``c2 = (doc_id * 7) % 251``;
+- the scanline filter cycles 0/1/2 with doc_id, so decoding exercises the
+  real unfilter paths (the decoded pixels are identical regardless);
+- mean pixel value = (c1·(w//2)·h + c2·(w−w//2)·h) / (w·h) — one integer
+  ratio, bit-exact between numpy and SQL doubles.
+
+Runs as a ``map_batches`` transform (corpus generation is itself a Ray
+pipeline stage, like :mod:`xhs_ocr_ray.sources.pages`).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from xhs_ocr_ray.png import encode_png
+from xhs_ocr_ray.stages.multimodal import MEDIA_SCHEMA
+
+
+def png_media_from_documents(batch: pa.Table) -> pa.Table:
+    """documents(doc_id, …) → media rows with real PNG payloads."""
+    doc_ids = batch.column("doc_id").to_pylist()
+    payloads: list[bytes] = []
+    widths: list[int] = []
+    heights: list[int] = []
+    for doc_id in doc_ids:
+        w = 16 + doc_id % 7
+        h = 12 + doc_id % 5
+        img = np.full((h, w), (doc_id * 7) % 251, dtype=np.uint8)
+        img[:, : w // 2] = doc_id % 256
+        payloads.append(encode_png(img, filters=doc_id % 3))
+        widths.append(w)
+        heights.append(h)
+    n = len(doc_ids)
+    return pa.table(
+        {
+            "media_id": pa.array(doc_ids, pa.int64()),
+            "media_type": pa.array(["image"] * n, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+            "width": pa.array(widths, pa.int32()),
+            "height": pa.array(heights, pa.int32()),
+            "duration_ms": pa.array([0] * n, pa.int32()),
+        },
+        schema=MEDIA_SCHEMA,
+    )

@@ -1,12 +1,16 @@
-"""Multimodal (image/audio/video) column stages — Ray plumbing real, decode
-STUBBED (no codec libraries in this container).
+"""Multimodal (image/audio/video) column stages.
 
 Binary payloads travel as opaque ``binary`` columns with typed metadata
 columns (``media_type``, ``width``/``height``/``duration_ms``). Every stage
 is an actor-pool ``map_batches`` class (decoder state warmed in
-``__init__``), small batch sizes because rows are wide. The decode functions
-raise ``NotImplementedError`` unless ``fake=True``, which substitutes a
-deterministic fake decode so schemas, batch sizing and output layout are
+``__init__``), small batch sizes because rows are wide.
+
+Image decode is REAL for PNG payloads (pure-Python codec,
+:mod:`xhs_ocr_ray.png` — the PIL/cv2 analog of the reference's pixel
+ingestion at core/run.py:660-676). Other image formats and the audio/video
+codecs have no stdlib decode path in this container: those raise
+``NotImplementedError`` unless ``fake=True``, which substitutes a
+deterministic fake decode so schemas, batch sizing and output layout stay
 testable end-to-end.
 """
 
@@ -16,6 +20,9 @@ import numpy as np
 import pyarrow as pa
 
 from xhs_ocr_ray.functions.hashing import stable_hash64
+from xhs_ocr_ray.png import decode_png
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -37,10 +44,13 @@ def _fake_pixels(payload: bytes, w: int, h: int) -> np.ndarray:
 
 
 class ImageDecode:
-    """Actor stage: binary image payload → feature vector + dims.
+    """Actor stage: binary image payload → feature vector + decoded dims +
+    exact mean pixel value.
 
-    Real decode is a STUB (``NotImplementedError``); ``fake=True`` produces a
-    deterministic stand-in so downstream stages are exercised for real.
+    PNG payloads decode for REAL (:func:`xhs_ocr_ray.png.decode_png`);
+    other formats raise ``NotImplementedError`` unless ``fake=True``
+    substitutes the deterministic stand-in (so downstream stages are
+    exercised even for formats this container cannot decode).
     """
 
     def __init__(self, fake: bool = False, thumb: int = 8):
@@ -48,10 +58,13 @@ class ImageDecode:
         self.thumb = thumb
 
     def _decode(self, payload: bytes, w: int, h: int) -> np.ndarray:
+        if payload[:8] == _PNG_SIG:
+            return decode_png(payload)  # real pixels, real dims
         if not self.fake:
             raise NotImplementedError(
-                "image decode requires PIL/cv2, not present in this container; "
-                "construct ImageDecode(fake=True) for the deterministic stub"
+                "non-PNG image decode requires PIL/cv2, not present in this "
+                "container; PNG decodes natively — construct "
+                "ImageDecode(fake=True) for a deterministic stub otherwise"
             )
         return _fake_pixels(payload, w, h)
 
@@ -61,10 +74,17 @@ class ImageDecode:
         ws = batch.column("width").to_pylist()
         hs = batch.column("height").to_pylist()
         feats: list[list[float]] = []
+        dec_w: list[int] = []
+        dec_h: list[int] = []
+        means: list[float] = []
         for p, w, h in zip(payloads, ws, hs):
             px = self._decode(p or b"", w or 0, h or 0)
+            dec_h.append(int(px.shape[0]))
+            dec_w.append(int(px.shape[1]))
+            # exact: integer pixel sum over all channels / one IEEE division
+            means.append(float(px.sum(dtype=np.int64)) / px.size)
             # Mean-pool to a thumb×thumb gray grid → flat feature vector.
-            g = px.mean(axis=2)
+            g = px.mean(axis=2) if px.ndim == 3 else px.astype(np.float64)
             ys = np.linspace(0, g.shape[0], self.thumb + 1, dtype=int)
             xs = np.linspace(0, g.shape[1], self.thumb + 1, dtype=int)
             feat = [
@@ -78,6 +98,9 @@ class ImageDecode:
             {
                 "media_id": pa.array(ids, pa.int64()),
                 "feature": pa.array(feats, pa.list_(pa.float32())),
+                "dec_width": pa.array(dec_w, pa.int32()),
+                "dec_height": pa.array(dec_h, pa.int32()),
+                "mean_val": pa.array(means, pa.float64()),
             }
         )
 

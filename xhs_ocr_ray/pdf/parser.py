@@ -13,9 +13,11 @@ Scope (documented, deliberate):
 - stream filters: none and ``/FlateDecode`` (stdlib zlib, with raw-deflate
   and truncated-tail fallbacks); other filters (DCT, LZW, …) are skipped;
 - text operators: BT/ET, Tf, TL, Tm, Td, TD, T*, Tj, ', ", TJ;
-- strings: literal ``(…)`` with nesting/escapes/octal and hex ``<…>``,
-  decoded as Latin-1 (correct for the Standard/WinAnsi encodings in the
-  ASCII range; CMap/ToUnicode composite fonts are out of scope);
+- strings: literal ``(…)`` with nesting/escapes/octal and hex ``<…>``.
+  Simple fonts decode as Latin-1 (correct for the Standard/WinAnsi
+  encodings in the ASCII range); composite fonts with ``/ToUnicode`` CMaps
+  (Identity-H CJK PDFs) decode 2-byte CIDs through the CMap's
+  bfchar/bfrange entries — ``Tf`` tracks the active font per text run;
 - positions: the text matrix is tracked as (x, y) translation + font size;
   PDF's bottom-left origin is flipped to the top-left coordinates the
   layout parsers expect, and successive pages stack vertically with a gap
@@ -49,6 +51,13 @@ _OTHER_FILTER_RE = re.compile(
 _MEDIABOX_RE = re.compile(
     rb"/MediaBox\s*\[\s*([\d.+-]+)\s+([\d.+-]+)\s+([\d.+-]+)\s+([\d.+-]+)\s*\]"
 )
+_TOUNICODE_RE = re.compile(rb"/ToUnicode\s+(\d+)\s+\d+\s+R")
+_RESOURCES_REF_RE = re.compile(rb"/Resources\s+(\d+)\s+\d+\s+R")
+_FONT_DICT_RE = re.compile(rb"/Font\s*<<(.*?)>>", re.DOTALL)
+_FONT_ENTRY_RE = re.compile(rb"/([^\s/<>\[\]()]+)\s+(\d+)\s+\d+\s+R")
+_BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.DOTALL)
+_BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.DOTALL)
+_HEX_OR_BRACKET_RE = re.compile(rb"<([0-9A-Fa-f]+)>|(\[)|(\])")
 
 _NUM_RE = re.compile(rb"[+-]?(?:\d+\.?\d*|\.\d+)")
 _OP_RE = re.compile(rb"[A-Za-z'\"][A-Za-z0-9*'\"]*")
@@ -193,21 +202,83 @@ def _tokenize(content: bytes):
         i += 1  # unknown byte: tolerate
 
 
-def _page_text_blocks(content: bytes, page_h: float, y_off: float) -> list[dict]:
-    """Interpret one page's content stream into positioned text blocks."""
+def _utf16be(b: bytes) -> str:
+    try:
+        return b.decode("utf-16-be")
+    except UnicodeDecodeError:
+        return b.decode("utf-16-be", errors="ignore")
+
+
+def _parse_tounicode(stream: bytes) -> dict[int, str]:
+    """CID → unicode map from a ToUnicode CMap stream (bfchar + bfrange,
+    including the ``[<dst> …]`` array form of bfrange)."""
+    cmap: dict[int, str] = {}
+    for m in _BFCHAR_RE.finditer(stream):
+        toks = [t for t in _HEX_OR_BRACKET_RE.findall(m.group(1)) if t[0]]
+        for i in range(0, len(toks) - 1, 2):
+            src = int(toks[i][0], 16)
+            cmap[src] = _utf16be(bytes.fromhex(toks[i + 1][0].decode("ascii")))
+    for m in _BFRANGE_RE.finditer(stream):
+        toks = _HEX_OR_BRACKET_RE.findall(m.group(1))
+        i, n = 0, len(toks)
+        while i + 1 < n and toks[i][0] and toks[i + 1][0]:
+            lo, hi = int(toks[i][0], 16), int(toks[i + 1][0], 16)
+            i += 2
+            if i < n and toks[i][1]:  # '[' — per-CID dst array
+                i += 1
+                cid = lo
+                while i < n and toks[i][0]:
+                    cmap[cid] = _utf16be(
+                        bytes.fromhex(toks[i][0].decode("ascii")))
+                    cid += 1
+                    i += 1
+                if i < n and toks[i][2]:  # ']'
+                    i += 1
+            elif i < n and toks[i][0]:  # incrementing dst base
+                base = bytes.fromhex(toks[i][0].decode("ascii"))
+                start = int.from_bytes(base, "big")
+                for off in range(hi - lo + 1):
+                    cmap[lo + off] = _utf16be(
+                        (start + off).to_bytes(len(base), "big"))
+                i += 1
+            else:
+                break
+    return cmap
+
+
+def _page_text_blocks(content: bytes, page_h: float, y_off: float,
+                      fonts: dict[str, dict[int, str] | None] | None = None,
+                      ) -> list[dict]:
+    """Interpret one page's content stream into positioned text blocks.
+
+    ``fonts`` maps resource font names (e.g. ``F2``) to a CID→unicode map
+    for composite fonts (or None for simple fonts); ``Tf`` switches the
+    active map, so one page can mix Latin-1 and CID text runs."""
     blocks: list[dict] = []
     fs = 12.0
     leading = 0.0
     line_x = line_y = 0.0
     cur_x = cur_y = 0.0
     stack: list = []
+    fonts = fonts or {}
+    cur_map: dict[int, str] | None = None
 
     def emit(raw: bytes) -> None:
         nonlocal cur_x
-        text = raw.decode("latin-1")
+        if cur_map is not None:
+            # composite font: 2-byte CIDs through the ToUnicode map; CJK
+            # glyphs advance a full em
+            text = "".join(
+                cur_map.get((raw[i] << 8) | raw[i + 1], "")
+                for i in range(0, len(raw) - 1, 2)
+            )
+            em = 1.0
+        else:
+            text = raw.decode("latin-1")
+            em = CHAR_WIDTH_EM
         # floor at 1 em: a box taller than wide would fool the layout
         # preprocessor's long-edge rotation estimate
-        w = max(CHAR_WIDTH_EM * fs * len(text), fs)
+        w = max(em * fs * len(text), fs)
         if text.strip():
             y_top = y_off + (page_h - cur_y) - fs
             blocks.append(
@@ -244,6 +315,8 @@ def _page_text_blocks(content: bytes, page_h: float, y_off: float) -> list[dict]
         elif op == "Tf" and stack:
             if isinstance(stack[-1], float):
                 fs = stack[-1] or fs
+            if len(stack) >= 2 and isinstance(stack[-2], str):
+                cur_map = fonts.get(stack[-2])
         elif op == "TL" and stack:
             if isinstance(stack[-1], float):
                 leading = stack[-1]
@@ -302,6 +375,34 @@ def extract_pdf_blocks(payload: bytes) -> list[dict] | None:
                 return None  # unsupported filter
             return data
 
+        # Composite fonts: any object with /ToUnicode gets its CMap parsed
+        # once; pages resolve their /Resources /Font names against these.
+        font_cmaps: dict[int, dict[int, str]] = {}
+        for n in order:
+            tm = _TOUNICODE_RE.search(objects[n])
+            if tm and int(tm.group(1)) in objects:
+                s = stream_of(objects[int(tm.group(1))])
+                if s:
+                    cm = _parse_tounicode(s)
+                    if cm:
+                        font_cmaps[n] = cm
+
+        def fonts_of(body: bytes) -> dict[str, dict[int, str]]:
+            """Resource font name → CID map (composite fonts only; simple
+            fonts fall through to the Latin-1 path). Handles both inline
+            /Resources dicts and indirect /Resources N 0 R."""
+            space = body
+            rm = _RESOURCES_REF_RE.search(body)
+            if rm and int(rm.group(1)) in objects:
+                space = body + objects[int(rm.group(1))]
+            out: dict[str, dict[int, str]] = {}
+            fm = _FONT_DICT_RE.search(space)
+            if fm:
+                for name, num in _FONT_ENTRY_RE.findall(fm.group(1)):
+                    if int(num) in font_cmaps:
+                        out[name.decode("latin-1")] = font_cmaps[int(num)]
+            return out
+
         # Page discovery: Kids order when a /Type /Pages node exists, else
         # file order of /Type /Page objects, else any stream containing BT.
         page_nums = [n for n in order if _TYPE_PAGE_RE.search(objects[n])]
@@ -315,7 +416,7 @@ def extract_pdf_blocks(payload: bytes) -> list[dict] | None:
                                      if _TYPE_PAGE_RE.search(objects[k])]
                 break
 
-        pages: list[tuple[bytes, float]] = []  # (content, page_height)
+        pages: list[tuple[bytes, float, dict]] = []  # (content, height, fonts)
         for pn in page_nums:
             body = objects[pn]
             refs: list[int] = []
@@ -335,18 +436,23 @@ def extract_pdf_blocks(payload: bytes) -> list[dict] | None:
             mb = _MEDIABOX_RE.search(body)
             page_h = float(mb.group(4)) if mb else DEFAULT_PAGE_HEIGHT
             if parts:
-                pages.append((b"\n".join(parts), page_h))
+                pages.append((b"\n".join(parts), page_h, fonts_of(body)))
 
         if not pages:  # tolerant fallback: any stream with a BT text block
+            # no page dict to resolve resources from → offer every named
+            # composite font found anywhere in the file
+            all_fonts: dict[str, dict[int, str]] = {}
+            for n in order:
+                all_fonts.update(fonts_of(objects[n]))
             for n in order:
                 s = stream_of(objects[n])
                 if s and b"BT" in s:
-                    pages.append((s, DEFAULT_PAGE_HEIGHT))
+                    pages.append((s, DEFAULT_PAGE_HEIGHT, all_fonts))
 
         blocks: list[dict] = []
         y_off = 0.0
-        for content, page_h in pages:
-            blocks.extend(_page_text_blocks(content, page_h, y_off))
+        for content, page_h, fonts in pages:
+            blocks.extend(_page_text_blocks(content, page_h, y_off, fonts))
             y_off += page_h + PAGE_GAP
         return blocks or None
     except Exception:  # noqa: BLE001 — row-local tolerance, never raise

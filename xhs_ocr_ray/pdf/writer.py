@@ -5,6 +5,12 @@ Flate-compressed (or raw) content stream per page, a correct xref table and
 trailer. Used by the synthetic pages corpus (``doc_id % 23`` rows) and the
 golden fixtures so the parser is exercised against real structure — any
 conforming reader opens these files.
+
+CJK support: ``build_cjk_text_pdf`` emits a composite Type0 font
+(``/Encoding /Identity-H``, CIDFontType2 descendant) with a ToUnicode CMap
+mapping document-local CIDs back to Unicode, and shows text as 2-byte-CID
+hex strings — the structure real CJK PDFs use. The descendant carries no
+embedded glyphs (these are extraction fixtures, not rendering targets).
 """
 
 from __future__ import annotations
@@ -37,26 +43,76 @@ def page_content(lines: list[tuple[float, float, str]],
     return b"\n".join(parts)
 
 
+def _tounicode_cmap(charmap: dict[str, int]) -> bytes:
+    """ToUnicode CMap stream body: CID → UTF-16BE bfchar entries (chunked at
+    the spec's 100-entries-per-section limit)."""
+    entries = [
+        f"<{cid:04X}> <{ch.encode('utf-16-be').hex().upper()}>"
+        for ch, cid in sorted(charmap.items(), key=lambda kv: kv[1])
+    ]
+    sections = []
+    for i in range(0, len(entries), 100):
+        chunk = entries[i : i + 100]
+        sections.append(
+            f"{len(chunk)} beginbfchar\n" + "\n".join(chunk) + "\nendbfchar"
+        )
+    body = (
+        "/CIDInit /ProcSet findresource begin\n12 dict begin\nbegincmap\n"
+        "/CIDSystemInfo << /Registry (Adobe) /Ordering (UCS) /Supplement 0 >> def\n"
+        "/CMapName /Adobe-Identity-UCS def\n/CMapType 2 def\n"
+        "1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+        + "\n".join(sections)
+        + "\nendcmap\nCMapName currentdict /CMap defineresource pop\nend\nend"
+    )
+    return body.encode("ascii")
+
+
 def build_pdf(content_streams: list[bytes], *,
-              compress: bool | list[bool] = True) -> bytes:
+              compress: bool | list[bool] = True,
+              cid_charmap: dict[str, int] | None = None) -> bytes:
     """Assemble a valid PDF: one page per content stream. ``compress`` may
-    be a per-page list (mixed raw/Flate streams in one file)."""
+    be a per-page list (mixed raw/Flate streams in one file).
+
+    ``cid_charmap`` (char → CID) adds an ``/F2`` Identity-H Type0 font with
+    a ToUnicode CMap; content streams may then show text as 2-byte-CID hex
+    strings (:func:`cid_page_content`).
+    """
     n_pages = len(content_streams)
     comp_flags = (compress if isinstance(compress, list)
                   else [compress] * n_pages)
     # object numbering: 1=catalog, 2=pages, 3=font,
-    # then per page i: page obj (4+2i), content obj (5+2i)
+    # per page i: page obj (4+2i), content obj (5+2i);
+    # optional CID font objects appended after the pages.
     objs: dict[int, bytes] = {}
     kids = " ".join(f"{4 + 2 * i} 0 R" for i in range(n_pages))
     objs[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
     objs[2] = (f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>"
                ).encode("ascii")
     objs[3] = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    fonts = "/F1 3 0 R"
+    if cid_charmap is not None:
+        t0_num = 4 + 2 * n_pages
+        desc_num, uni_num = t0_num + 1, t0_num + 2
+        objs[t0_num] = (
+            f"<< /Type /Font /Subtype /Type0 /BaseFont /Synth-Identity "
+            f"/Encoding /Identity-H /DescendantFonts [{desc_num} 0 R] "
+            f"/ToUnicode {uni_num} 0 R >>"
+        ).encode("ascii")
+        objs[desc_num] = (
+            b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Synth-Identity "
+            b"/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) "
+            b"/Supplement 0 >> /DW 1000 >>"
+        )
+        cmap = _tounicode_cmap(cid_charmap)
+        objs[uni_num] = (
+            b"<< /Length %d >>\nstream\n" % len(cmap) + cmap + b"\nendstream"
+        )
+        fonts += f" /F2 {t0_num} 0 R"
     for i, content in enumerate(content_streams):
         page_num, cont_num = 4 + 2 * i, 5 + 2 * i
         objs[page_num] = (
             f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {PAGE_W} {PAGE_H}] "
-            f"/Resources << /Font << /F1 3 0 R >> >> "
+            f"/Resources << /Font << {fonts} >> >> "
             f"/Contents {cont_num} 0 R >>"
         ).encode("ascii")
         data = zlib.compress(content) if comp_flags[i] else content
@@ -80,6 +136,41 @@ def build_pdf(content_streams: list[bytes], *,
     out += (b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
             % (n_obj, xref_at))
     return bytes(out)
+
+
+def cid_page_content(lines: list[tuple[float, float, str]],
+                     charmap: dict[str, int],
+                     font_size: float = FONT_SIZE) -> bytes:
+    """Content stream showing each (x, y, text) line as a 2-byte-CID hex
+    string under the /F2 Identity-H font."""
+    parts = [b"BT", b"/F2 %.1f Tf" % font_size]
+    for x, y, text in lines:
+        hexstr = "".join(f"{charmap[ch]:04X}" for ch in text)
+        parts.append(b"1 0 0 1 %.1f %.1f Tm" % (x, y))
+        parts.append(b"<" + hexstr.encode("ascii") + b"> Tj")
+    parts.append(b"ET")
+    return b"\n".join(parts)
+
+
+def build_cjk_text_pdf(paragraphs: list[str], *, paras_per_page: int = 18,
+                       compress: bool = True) -> bytes:
+    """One CID-encoded text line per paragraph (same frozen geometry as
+    :func:`build_text_pdf`): extracted text is ``"\\n".join(paragraphs)``.
+    CIDs are document-local (assigned in sorted char order — deterministic);
+    the ToUnicode CMap carries the inverse mapping."""
+    chars = sorted({ch for p in paragraphs for ch in p})
+    charmap = {ch: i + 1 for i, ch in enumerate(chars)}
+    streams: list[bytes] = []
+    for start in range(0, len(paragraphs), paras_per_page):
+        chunk = paragraphs[start : start + paras_per_page]
+        lines = [
+            (MARGIN_X, TOP_Y - i * PARA_STEP, text)
+            for i, text in enumerate(chunk)
+        ]
+        streams.append(cid_page_content(lines, charmap))
+    if not streams:
+        streams = [cid_page_content([], charmap)]
+    return build_pdf(streams, compress=compress, cid_charmap=charmap)
 
 
 def build_text_pdf(paragraphs: list[str], *, paras_per_page: int = 18,

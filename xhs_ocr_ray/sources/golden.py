@@ -126,6 +126,22 @@ def _pdf_basic() -> bytes:
     return build_pdf([page1, page2], compress=[True, False])
 
 
+def _pdf_cjk() -> bytes:
+    """Identity-H composite-font PDF (CID hex strings + ToUnicode CMap) —
+    the structure of real CJK PDFs; extraction must round-trip the unicode
+    through the CMap and the layout parsers."""
+    from xhs_ocr_ray.pdf.writer import build_cjk_text_pdf
+
+    return build_cjk_text_pdf(
+        [
+            "中文文档的标题行",
+            "这是第一段正文，通过 Identity-H 复合字体编码。",
+            "日本語の段落もそのまま抽出されます。",
+            "Mixed 中英 paragraph keeps every character.",
+        ]
+    )
+
+
 def _layout_two_column() -> bytes:
     """A two-column layout payload: reading order must finish the left column
     before the right column (gap-tree semantics)."""
@@ -181,6 +197,7 @@ def golden_corpus() -> list[dict]:
         ("code-block", _CODE_BLOCK_HTML.encode()),
         ("two-column-layout", _layout_two_column()),
         ("pdf-basic", _pdf_basic()),
+        ("pdf-cjk", _pdf_cjk()),
         ("pdf-broken", b"%PDF-1.7\nfake"),
         ("empty", _EMPTY_HTML.encode()),
     ]

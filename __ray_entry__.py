@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import os
 from collections.abc import Callable
+from xhs_ocr_ray.functions.arrow import arrow_from_pandas
 from typing import Any
 
 _URGENT = "1-URGENT"
@@ -19,9 +20,9 @@ _WINDOW_CUT = "2024-01-20 00:00:00"
 
 
 def _read(sf_dir: str, name: str, **kwargs):
-    import ray.data
+    from xhs_ocr_ray.functions.arrow import read_parquet_clean
 
-    return ray.data.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), **kwargs)
+    return read_parquet_clean(os.path.join(sf_dir, f"{name}.parquet"), **kwargs)
 
 
 # ---------------------------------------------------------------------------
@@ -38,7 +39,8 @@ def entry() -> Any:
     from xhs_ocr_ray.stages.dedup import exact_dedup
 
     pages_dir = ensure_pages_parquet("/root/testdata/sf0.001")
-    pages = ray.data.read_parquet(pages_dir, columns=["url", "warc_ts", "html", "lang"])
+    from xhs_ocr_ray.functions.arrow import read_parquet_clean
+    pages = read_parquet_clean(pages_dir, columns=["url", "warc_ts", "html", "lang"])
     extracted = extract_dataset(pages, library=default_library(),
                                 concurrency=(1, 4), batch_size=64)
     return exact_dedup(extracted, ["url"], "warc_ts")
@@ -412,7 +414,7 @@ def _q_count_distinct(sf_dir: str):
             {"user_id": b.column("user_id").to_pylist(),
              "event_type": b.column("event_type").to_pylist()}
         ).drop_duplicates()
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return arrow_from_pandas(df)
 
     def bucket_nunique(chunk: pd.DataFrame) -> pd.DataFrame:
         out = (
@@ -522,7 +524,7 @@ def _q_token_topk(sf_dir: str):
             # with token <> '' (bare .split() would also split on \t/\n).
             c.update(w for w in (t or "").split(" ") if w)
         df = pd.DataFrame({"token": list(c.keys()), "n": list(c.values())})
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return arrow_from_pandas(df)
 
     return (
         _read(sf_dir, "documents", columns=["text"])
@@ -585,7 +587,8 @@ def _q_extract_pages(sf_dir: str):
     from xhs_ocr_ray.profiles import default_library
 
     pages_dir = ensure_pages_parquet(sf_dir)
-    pages = ray.data.read_parquet(pages_dir, columns=["url", "warc_ts", "html", "lang"])
+    from xhs_ocr_ray.functions.arrow import read_parquet_clean
+    pages = read_parquet_clean(pages_dir, columns=["url", "warc_ts", "html", "lang"])
     extracted = extract_dataset(pages, library=default_library(),
                                 concurrency=(1, 4), batch_size=64)
     return exact_dedup(extracted, ["url"], "warc_ts").select_columns(
@@ -603,7 +606,8 @@ def _q_lineage_pages(sf_dir: str):
     from xhs_ocr_ray.profiles import default_library
 
     pages_dir = ensure_pages_parquet(sf_dir)
-    pages = ray.data.read_parquet(pages_dir, columns=["url", "warc_ts", "html", "lang"])
+    from xhs_ocr_ray.functions.arrow import read_parquet_clean
+    pages = read_parquet_clean(pages_dir, columns=["url", "warc_ts", "html", "lang"])
     summary = prefix_summary(
         extract_dataset(pages, library=default_library(),
                         concurrency=(1, 4), batch_size=64)

@@ -28,6 +28,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from xhs_ocr_ray.engine import ExtractorEngine
+from xhs_ocr_ray.functions.arrow import read_parquet_clean
 from xhs_ocr_ray.profiles import ProfileLibrary
 from xhs_ocr_ray.stages.dedup import exact_dedup
 from xhs_ocr_ray.stages.lineage import prefix_summary
@@ -105,7 +106,7 @@ def bucketize(input_paths: list[str] | str, staged_dir: str, *,
     data_dir = os.path.join(staged_dir, "data")
     with ckpt.atomic_output_dir(data_dir) as tmp:
         (
-            ray.data.read_parquet(
+            read_parquet_clean(
                 input_paths, override_num_blocks=_read_override(input_paths)
             )
             .map_batches(add_bucket, batch_format="pyarrow",
@@ -202,11 +203,11 @@ def run_extract(staged_dir: str, out_dir: str, *,
         big_files = [
             f for sid in group for f in buckets[sid] if int(sid) >= num_buckets
         ]
-        small_ds = ray.data.read_parquet(
+        small_ds = read_parquet_clean(
             normal_files, columns=["url", "warc_ts", "html", "lang"],
             override_num_blocks=_read_override(normal_files),
         ) if normal_files else None
-        big_ds = ray.data.read_parquet(
+        big_ds = read_parquet_clean(
             big_files, columns=["url", "warc_ts", "html", "lang"],
         ) if big_files else None
         if since_ts is not None:

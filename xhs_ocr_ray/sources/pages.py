@@ -38,6 +38,8 @@ import tempfile
 
 import pyarrow as pa
 
+from xhs_ocr_ray.functions.arrow import read_parquet_clean
+
 BASE_TS_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z in microseconds
 HOUR_US = 3_600_000_000
 DAY_US = 24 * HOUR_US
@@ -282,7 +284,7 @@ def ensure_pages_parquet(sf_dir: str, cache_root: str = "/tmp/xhs_pages_cache",
     os.makedirs(cache_root, exist_ok=True)
     tmp_dir = tempfile.mkdtemp(prefix=tag + ".", dir=cache_root)
     (
-        ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+        read_parquet_clean(os.path.join(sf_dir, "documents.parquet"))
         .map_batches(pages_from_documents, batch_format="pyarrow", batch_size=512,
                      fn_kwargs={"replicas": replicas})
         .write_parquet(tmp_dir, min_rows_per_file=4096)

@@ -31,6 +31,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from xhs_ocr_ray.functions.arrow import read_parquet_clean
 from xhs_ocr_ray.functions.hashing import (
     minhash_permutations,
     minhash_signature,
@@ -271,7 +272,7 @@ def minhash_lsh_dedup(ds, text_col: str, id_col: str, *, num_perm: int = 64,
     )
     ds.map_batches(sig_rows, batch_format="pyarrow",
                    batch_size=256).write_parquet(spill)
-    sig_ds = ray.data.read_parquet(spill)
+    sig_ds = read_parquet_clean(spill)
 
     def band_rows(batch: pa.Table) -> pa.Table:
         """(band_key, kb, id) — narrow rows for the candidate shuffle.

@@ -12,6 +12,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from xhs_ocr_ray.functions.arrow import arrow_from_pandas
+
 
 def add_url_prefix(batch: pa.Table) -> pa.Table:
     """Vectorized host extraction: strip scheme, cut at first '/'."""
@@ -38,7 +40,7 @@ def _partial(batch: pa.Table) -> pa.Table:
              chars_out=("n_chars", "sum"))
         .reset_index()
     )
-    return pa.Table.from_pandas(agg, preserve_index=False)
+    return arrow_from_pandas(agg)
 
 
 def lineage_metrics(extracted_ds):
@@ -79,7 +81,7 @@ def prefix_summary(extracted_ds):
             .reset_index()
         )
         agg["n_failed"] = agg["n_docs"] - agg["n_ok"]
-        return pa.Table.from_pandas(agg, preserve_index=False)
+        return arrow_from_pandas(agg)
 
     from ray.data.aggregate import Sum
 

@@ -17,6 +17,8 @@ import os
 import numpy as np
 import pyarrow as pa
 
+from xhs_ocr_ray.functions.arrow import read_parquet_clean
+
 
 def _as_matrix(col) -> np.ndarray:
     vals = col.to_pylist()
@@ -121,7 +123,7 @@ def _probe_topk(index_dir: str, part_col: str, part_values: list[int],
     if not files:
         return []
     cand = (
-        ray.data.read_parquet(files)
+        read_parquet_clean(files)
         .map_batches(local_topk, batch_format="pyarrow")
         .take_all()  # bounded: ≤ k rows per block
     )

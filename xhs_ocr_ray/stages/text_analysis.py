@@ -12,6 +12,8 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from xhs_ocr_ray.functions.arrow import arrow_from_pandas
+
 from xhs_ocr_ray.functions.hashing import md5_hex, rolling_fingerprint
 
 _PUNCT_CLASS = r"[.!?,;:]"
@@ -116,4 +118,4 @@ def grouped_partial_counts(batch: pa.Table, group_cols: list[str],
     if sum_col:
         aggs["sum_val"] = (sum_col, "sum")
     out = df.groupby(group_cols, sort=True, dropna=False).agg(**aggs).reset_index()
-    return pa.Table.from_pandas(out, preserve_index=False)
+    return arrow_from_pandas(out)

@@ -21,6 +21,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from xhs_ocr_ray.functions.arrow import arrow_from_pandas
+
 from xhs_ocr_ray.stages.dedup import _add_key_bucket, default_num_buckets
 
 
@@ -91,7 +93,7 @@ def hopping_counts(ds, key_col: str, ts_col: str, *, window_us: int,
             {key_col: np.repeat(keys, n_windows)[mask], "window_id": w[mask]}
         )
         agg = df.groupby([key_col, "window_id"], sort=False).size().reset_index(name="n")
-        return pa.Table.from_pandas(agg, preserve_index=False)
+        return arrow_from_pandas(agg)
 
     return (
         ds.map_batches(explode, batch_format="pyarrow")

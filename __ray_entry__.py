@@ -701,6 +701,42 @@ def _q_lang_id(sf_dir: str):
     )
 
 
+# One text per CJK classifier branch, routed by doc_id % 5 so the oracle is a
+# closed-form CASE (the ASCII documents corpus leaves these branches dead in
+# the plain lang_id query). Case 3 dilutes ideographs below the 20% ratio so
+# classification falls through to the stopword path (→ 'en').
+_CJK_TEXTS = (
+    "東京は晴れです、きょうのてんきはとてもよい",  # ja (kana)
+    "안녕하세요 오늘 날씨가 좋습니다",  # ko (hangul)
+    "中文文档内容质量很高测试分类器的判定",  # zh (ideographs)
+    "中文 the and of to a in is that it for more filler words here",  # → en
+    "",  # → unknown
+)
+
+
+def _q_lang_id_cjk(sf_dir: str):
+    """LangId's kana / hangul / ideograph-ratio / dilution / empty branches
+    over a deterministic doc_id-routed corpus (reference heuristic target:
+    /root/reference/core/run.py Chinese-content handling)."""
+    import pyarrow as pa
+
+    from xhs_ocr_ray.stages.text_analysis import LangId
+
+    def synth(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "text": pa.array([_CJK_TEXTS[i % 5] for i in ids], pa.string()),
+        })
+
+    return (
+        _read(sf_dir, "documents", columns=["doc_id"])
+        .map_batches(synth, batch_format="pyarrow")
+        .map_batches(LangId, batch_format="pyarrow", concurrency=2)
+        .select_columns(["doc_id", "lang_pred"])
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "window_filter": _q_window_filter,
@@ -733,6 +769,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": _q_embedding_neardup,
         "ngram_jaccard": _q_ngram_jaccard,
         "lang_id": _q_lang_id,
+        "lang_id_cjk": _q_lang_id_cjk,
         "png_features": _q_png_features,
     }
 
@@ -1043,6 +1080,13 @@ def oracle_sql() -> dict[str, str]:
                        - length(list_intersect(a.grams, b.grams))) >= 0.3
         """,
         "lang_id": _lang_id_sql(),
+        # -- CJK-branch corpus is routed by doc_id, so the result is a CASE
+        "lang_id_cjk": """
+            SELECT doc_id, CASE CAST(doc_id % 5 AS INTEGER)
+              WHEN 0 THEN 'ja' WHEN 1 THEN 'ko' WHEN 2 THEN 'zh'
+              WHEN 3 THEN 'en' ELSE 'unknown' END AS lang_pred
+            FROM documents
+        """,
         # -- PNG synthesis + decode are closed-form in doc_id (sources/media.py)
         "png_features": """
             WITH p AS (

@@ -77,6 +77,26 @@ def test_lang_id():
     assert out.column("lang_pred").to_pylist() == ["en", "unknown"]
 
 
+def test_lang_id_cjk_branch_corpus():
+    """The doc_id-routed corpus behind the lang_id_cjk oracle must hit every
+    classifier branch: kana wins over kanji, hangul, ideograph ratio, and the
+    below-ratio dilution falling through to the stopword path."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from __ray_entry__ import _CJK_TEXTS
+
+    lid = LangId()
+    assert [lid.classify(t) for t in _CJK_TEXTS] == [
+        "ja", "ko", "zh", "en", "unknown"
+    ]
+    # case 3 really is below the ideograph-ratio threshold (fall-through, not
+    # a zh near-miss by accident of length)
+    head = _CJK_TEXTS[3][:400]
+    cjk = sum(1 for ch in head if 0x3000 <= ord(ch) <= 0x9FFF)
+    assert 0 < cjk <= len(head) * 0.2
+
+
 def test_stable_hashes_deterministic():
     assert stable_hash64("abc") == stable_hash64("abc")
     assert stable_hash64("abc") != stable_hash64("abd")

@@ -92,6 +92,52 @@ def test_components_match_union_find(ray_session):
         assert got == want, f"driver_threshold={thresh}"
 
 
+def test_components_parquet_spill(ray_session, tmp_path):
+    """spill_threshold_rows=0 forces per-round parquet state; labels must be
+    identical to the materialized path, the auto-created /tmp spill dir is
+    reclaimed, and a caller-provided dir is left caller-owned."""
+    import glob
+    import ray.data
+
+    from xhs_ocr_ray.stages.components import assign_clusters, connected_components
+
+    edges = [(i, i + 1) for i in range(0, 40, 2)]  # 20 disjoint 2-cliques
+    edges += [(100 + i, 101 + i) for i in range(9)]  # one 10-node chain
+    pairs_ds = ray.data.from_items([{"a": a, "b": b} for a, b in edges])
+    ids = sorted({x for e in edges for x in e})
+    ids_ds = ray.data.from_items([{"id": i} for i in ids])
+
+    want_labels = connected_components(pairs_ds, driver_threshold=0)
+    want = {
+        r["id"]: r["cluster_id"]
+        for r in assign_clusters(ids_ds, "id", want_labels).take_all()
+    }
+
+    # auto-created spill dir: identical labels, dir reclaimed before return
+    before = set(glob.glob("/tmp/xhs_cc_spill/*"))
+    labels = connected_components(
+        pairs_ds, driver_threshold=0, spill_threshold_rows=0
+    )
+    got = {
+        r["id"]: r["cluster_id"]
+        for r in assign_clusters(ids_ds, "id", labels).take_all()
+    }
+    assert got == want
+    assert set(glob.glob("/tmp/xhs_cc_spill/*")) == before
+
+    # caller-provided dir: identical labels, parquet state left in place
+    sd = str(tmp_path / "cc_spill")
+    labels2 = connected_components(
+        pairs_ds, driver_threshold=0, spill_threshold_rows=0, spill_dir=sd
+    )
+    got2 = {
+        r["id"]: r["cluster_id"]
+        for r in assign_clusters(ids_ds, "id", labels2).take_all()
+    }
+    assert got2 == want
+    assert glob.glob(sd + "/edges/*.parquet")
+
+
 def test_components_empty_edges(ray_session):
     import ray.data
 

@@ -47,6 +47,14 @@ _ROWS_PER_BLOCK = 500_000  # compaction target for the small label/edge sets
 # produce identical labels (min member id per component).
 DRIVER_EDGE_THRESHOLD = 200_000
 
+# Above this many symmetrized edge rows, per-round state (edges + labels)
+# lives in parquet instead of materialized object-store blocks: O(log
+# diameter) rounds each pin edges+labels otherwise, and at extreme dup rates
+# that standing set competes with the actual pipeline for store memory. The
+# spill mirrors minhash's signature spill (dedup.py): write once, re-read
+# per round, reclaim eagerly.
+SPILL_THRESHOLD_ROWS = 20_000_000
+
 
 def _kind_col(n: int, kind: int) -> pa.Array:
     return pa.array(np.full(n, kind, dtype=np.int8))
@@ -64,7 +72,9 @@ def _compact(ds_mat):
 
 
 def connected_components(edges_ds, *, max_iters: int = MAX_ITERS,
-                         driver_threshold: int = DRIVER_EDGE_THRESHOLD):
+                         driver_threshold: int = DRIVER_EDGE_THRESHOLD,
+                         spill_dir: str | None = None,
+                         spill_threshold_rows: int = SPILL_THRESHOLD_ROWS):
     """``(a, b)`` edge Dataset → ``(node, label)`` Dataset for every node
     that appears in an edge; ``label`` = min node id of the component.
     Returns ``None`` when there are no edges (caller maps ids to self).
@@ -72,7 +82,14 @@ def connected_components(edges_ds, *, max_iters: int = MAX_ITERS,
     ``driver_threshold``: edge counts at or below this take a bounded local
     union-find fast path (a dozen distributed shuffle rounds cost seconds of
     fixed latency that dwarf a 10^5-edge graph); set 0 to force the
-    distributed path (tests do)."""
+    distributed path (tests do).
+
+    ``spill_threshold_rows``: above this many symmetrized edge rows the
+    per-round edge/label state is kept in parquet under ``spill_dir``
+    (auto-created under /tmp and reclaimed before return when not given;
+    caller-provided dirs are caller-owned) instead of materialized
+    object-store blocks; 0 forces the spill path (tests do). Labels come
+    out identical either way."""
 
     nb = default_num_buckets()  # resolved ONCE on the driver per run
 
@@ -107,15 +124,45 @@ def connected_components(edges_ds, *, max_iters: int = MAX_ITERS,
             items, override_num_blocks=max(1, len(items) // _ROWS_PER_BLOCK)
         )
 
+    spilling = n_edges > spill_threshold_rows
+    sd = prev_label_dir = None
+    if spilling:
+        import os
+        import shutil
+        import tempfile
+        import uuid
+
+        from xhs_ocr_ray.functions.arrow import read_parquet_clean
+
+        owned = spill_dir is None
+        sd = spill_dir or os.path.join(
+            tempfile.gettempdir(), "xhs_cc_spill", uuid.uuid4().hex
+        )
+        edges_path = os.path.join(sd, "edges")
+        edges.write_parquet(edges_path)
+        # rebinding drops the materialized blocks; every round now streams
+        # the edge set from parquet instead of pinning it in the store
+        edges = read_parquet_clean(edges_path)
+
+    def persist(ds, name: str):
+        """Round-state pin: materialize (+compact) normally; in spill mode
+        write to parquet and hand back a lazy re-read."""
+        if not spilling:
+            return _compact(ds.materialize())
+        path = os.path.join(sd, name)
+        ds.write_parquet(path)
+        return read_parquet_clean(path)
+
     def init_bucket(chunk: pd.DataFrame) -> pd.DataFrame:
         nodes = chunk["key"].drop_duplicates()
         return pd.DataFrame({"node": nodes, "label": nodes})
 
-    labels = _compact(
-        edges.groupby("__kb")
-        .map_groups(init_bucket, batch_format="pandas")
-        .materialize()
+    labels = persist(
+        edges.groupby("__kb").map_groups(init_bucket, batch_format="pandas"),
+        "labels_init",
     )
+    if spilling:
+        prev_label_dir = os.path.join(sd, "labels_init")
 
     def tag_edges(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -158,7 +205,7 @@ def connected_components(edges_ds, *, max_iters: int = MAX_ITERS,
             {"node": new.index, "label": new.values, "changed": changed.values}
         )
 
-    for _ in range(max_iters):
+    for round_no in range(max_iters):
         msgs = (
             edges.map_batches(tag_edges, batch_format="pyarrow")
             .union(labels.map_batches(shortcut_edges, batch_format="pyarrow"))
@@ -181,19 +228,36 @@ def connected_components(edges_ds, *, max_iters: int = MAX_ITERS,
                  "kind": _kind_col(batch.num_rows, 1)}
             )
 
-        new_labels = (
+        combined = (
             msgs.map_batches(tag_msgs, batch_format="pyarrow")
             .union(labels.map_batches(tag_labels, batch_format="pyarrow"))
             .map_batches(_add_key_bucket, batch_format="pyarrow",
                          fn_kwargs={"key_cols": ["node"], "num_buckets": nb})
             .groupby("__kb")
             .map_groups(combine, batch_format="pandas")
-            .materialize()
         )
+        new_labels = persist(combined, f"labels_{round_no}")
         n_changed = new_labels.sum("changed") or 0
-        labels = _compact(new_labels.drop_columns(["changed"]).materialize())
+        if spilling:
+            # the previous round's label parquet is fully consumed; reclaim
+            # eagerly so the spill footprint is one round, not all rounds
+            labels = new_labels.drop_columns(["changed"])
+            if prev_label_dir:
+                shutil.rmtree(prev_label_dir, ignore_errors=True)
+            prev_label_dir = os.path.join(sd, f"labels_{round_no}")
+        else:
+            labels = _compact(
+                new_labels.drop_columns(["changed"]).materialize()
+            )
         if n_changed == 0:
             break
+    if spilling and owned:
+        # hand back one materialized (bounded: nodes-in-edges) copy so the
+        # auto-created spill dir can be reclaimed before returning — exactly
+        # the minhash sig-spill lifecycle. Caller-provided dirs are left
+        # alone and the returned dataset stays parquet-backed.
+        labels = _compact(labels.materialize())
+        shutil.rmtree(sd, ignore_errors=True)
     return labels
 
 

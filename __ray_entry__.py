@@ -737,6 +737,67 @@ def _q_lang_id_cjk(sf_dir: str):
     )
 
 
+def _q_asof_join(sf_dir: str):
+    """Backward as-of join: every event gets the latest prior (or same-time)
+    purchase timestamp of its user. One bucketed shuffle + per-bucket
+    vectorized merge_asof (stages/joins.py)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from xhs_ocr_ray.stages.joins import asof_join
+
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    purchases = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"]).map_batches(
+        lambda b: b.filter(pc.equal(b.column("event_type"), "purchase"))
+                   .drop_columns(["event_type"]),
+        batch_format="pyarrow",
+    )
+    joined = asof_join(ev, purchases, by_col="user_id", ts_col="ts",
+                       out_ts="last_purchase_ts")
+
+    def finish(b: pa.Table) -> pa.Table:
+        # pandas round-trips timestamps at ns; oracle compare needs us
+        return pa.table({
+            "event_id": b.column("event_id"),
+            "user_id": b.column("user_id"),
+            "last_purchase_ts": pc.cast(b.column("last_purchase_ts"),
+                                        pa.timestamp("us")),
+        })
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+_RANGE_BASE_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z
+_RANGE_STEP_US = 12 * 3_600_000_000
+_RANGE_LEN_US = 18 * 3_600_000_000  # > step → adjacent ranges overlap
+
+
+def _q_range_join(sf_dir: str):
+    """Interval join: events × overlapping 18h ranges anchored per nation
+    key (config-sized side → broadcast; stages/joins.py)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from xhs_ocr_ray.stages.joins import range_join_broadcast
+
+    # the range table is the broadcast-small side: one driver-side read of a
+    # 25-row parquet is the intended shape, not a shortcut
+    nk = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                       columns=["n_nationkey"]).column("n_nationkey")
+    starts = pa.compute.add(pa.compute.multiply(
+        pa.compute.cast(nk, pa.int64()), _RANGE_STEP_US), _RANGE_BASE_US)
+    ranges = pa.table({
+        "range_id": nk,
+        "start_ts": starts.cast(pa.timestamp("us")),
+        "end_ts": pa.compute.add(starts, _RANGE_LEN_US).cast(pa.timestamp("us")),
+    })
+    return range_join_broadcast(
+        _read(sf_dir, "events", columns=["event_id", "ts"]),
+        ranges, ts_col="ts", start_col="start_ts", end_col="end_ts",
+        range_cols=["range_id"],
+    ).select_columns(["event_id", "range_id"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "window_filter": _q_window_filter,
@@ -771,6 +832,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": _q_lang_id,
         "lang_id_cjk": _q_lang_id_cjk,
         "png_features": _q_png_features,
+        "asof_join": _q_asof_join,
+        "range_join": _q_range_join,
     }
 
 
@@ -1078,6 +1141,21 @@ def oracle_sql() -> dict[str, str]:
               AND CAST(length(list_intersect(a.grams, b.grams)) AS DOUBLE)
                     / (length(a.grams) + length(b.grams)
                        - length(list_intersect(a.grams, b.grams))) >= 0.3
+        """,
+        "asof_join": """
+            SELECT e.event_id, e.user_id, p.ts AS last_purchase_ts
+            FROM events e ASOF LEFT JOIN (
+              SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+            ) p ON e.user_id = p.user_id AND e.ts >= p.ts
+        """,
+        "range_join": """
+            SELECT e.event_id, n.n_nationkey AS range_id
+            FROM events e JOIN nation n
+              ON e.ts >= TIMESTAMP '2024-01-01'
+                         + n.n_nationkey * INTERVAL '12 hours'
+             AND e.ts <  TIMESTAMP '2024-01-01'
+                         + n.n_nationkey * INTERVAL '12 hours'
+                         + INTERVAL '18 hours'
         """,
         "lang_id": _lang_id_sql(),
         # -- CJK-branch corpus is routed by doc_id, so the result is a CASE

@@ -33,7 +33,7 @@ QUERY_NAMES = [
     "embedding_neardup", "lang_id", "lang_id_cjk", "sidecar_join", "sidecar_typed", "semi_join", "anti_join",
     "top_customers", "count_distinct", "window_tumbling", "sessionize",
     "hopping_window", "hash_split", "token_topk", "ngram_jaccard",
-    "png_features",
+    "png_features", "asof_join", "range_join",
 ]
 
 

@@ -1,0 +1,140 @@
+"""as-of join and range join (stages/joins.py)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _ts(s):
+    return pd.Timestamp(s)
+
+
+def _mk(rows, schema):
+    import ray.data
+
+    return ray.data.from_arrow(pa.Table.from_pylist(rows, schema=schema))
+
+
+LEFT_SCHEMA = pa.schema([("event_id", pa.int64()), ("user_id", pa.int64()),
+                         ("ts", pa.timestamp("us"))])
+RIGHT_SCHEMA = pa.schema([("user_id", pa.int64()), ("ts", pa.timestamp("us")),
+                          ("price", pa.float64())])
+
+
+def test_asof_backward_with_value(ray_session):
+    from xhs_ocr_ray.stages.joins import asof_join
+
+    left = _mk([
+        {"event_id": 1, "user_id": 7, "ts": _ts("2024-01-01 10:00")},
+        {"event_id": 2, "user_id": 7, "ts": _ts("2024-01-01 12:00")},
+        {"event_id": 3, "user_id": 7, "ts": _ts("2024-01-01 09:00")},  # no match
+        {"event_id": 4, "user_id": 8, "ts": _ts("2024-01-01 12:00")},  # other key
+    ], LEFT_SCHEMA)
+    right = _mk([
+        {"user_id": 7, "ts": _ts("2024-01-01 09:30"), "price": 1.0},
+        {"user_id": 7, "ts": _ts("2024-01-01 11:00"), "price": 2.0},
+        {"user_id": 9, "ts": _ts("2024-01-01 00:00"), "price": 9.0},
+    ], RIGHT_SCHEMA)
+    out = asof_join(left, right, by_col="user_id", ts_col="ts",
+                    right_val_col="price").to_pandas()
+    got = out.set_index("event_id").sort_index()
+    assert got.loc[1, "asof_val"] == 1.0
+    assert got.loc[2, "asof_val"] == 2.0
+    assert pd.isna(got.loc[3, "asof_ts"])   # before any right row
+    assert pd.isna(got.loc[4, "asof_ts"])   # user 8 has no right rows
+    assert got.loc[2, "asof_ts"] == _ts("2024-01-01 11:00")
+
+
+def test_asof_forward_and_exact_match(ray_session):
+    from xhs_ocr_ray.stages.joins import asof_join
+
+    left = _mk([
+        {"event_id": 1, "user_id": 1, "ts": _ts("2024-01-01 10:00")},
+        {"event_id": 2, "user_id": 1, "ts": _ts("2024-01-01 23:00")},
+    ], LEFT_SCHEMA)
+    right = _mk([
+        {"user_id": 1, "ts": _ts("2024-01-01 10:00"), "price": 5.0},  # exact
+        {"user_id": 1, "ts": _ts("2024-01-01 22:00"), "price": 6.0},
+    ], RIGHT_SCHEMA)
+    out = asof_join(left, right, by_col="user_id", ts_col="ts",
+                    right_val_col="price", direction="forward").to_pandas()
+    got = out.set_index("event_id")
+    assert got.loc[1, "asof_val"] == 5.0       # exact match allowed
+    assert pd.isna(got.loc[2, "asof_ts"])      # nothing at/after 23:00
+
+
+def test_asof_matches_pandas_reference(ray_session):
+    """Random many-key corpus vs a driver-side global merge_asof."""
+    from xhs_ocr_ray.stages.joins import asof_join
+
+    rng = np.random.default_rng(7)
+    n_l, n_r = 500, 200
+    lt = pd.DataFrame({
+        "event_id": np.arange(n_l, dtype=np.int64),
+        "user_id": rng.integers(0, 20, n_l),
+        "ts": pd.to_datetime(rng.integers(0, 10**6, n_l), unit="s"),
+    })
+    rt = pd.DataFrame({
+        "user_id": rng.integers(0, 20, n_r),
+        "ts": pd.to_datetime(rng.integers(0, 10**6, n_r), unit="s"),
+        "price": rng.normal(size=n_r).round(3),
+    })
+    want = pd.merge_asof(
+        lt.sort_values("ts", kind="mergesort"),
+        rt.sort_values(["ts", "price"], kind="mergesort").rename(
+            columns={"ts": "asof_ts", "price": "asof_val"}),
+        left_on="ts", right_on="asof_ts", by="user_id", direction="backward",
+    ).sort_values("event_id")
+
+    left = _mk(lt.to_dict("records"), LEFT_SCHEMA)
+    right = _mk(rt.to_dict("records"), RIGHT_SCHEMA)
+    out = (
+        asof_join(left, right, by_col="user_id", ts_col="ts",
+                  right_val_col="price")
+        .to_pandas().sort_values("event_id")
+    )
+    out["asof_ts"] = out["asof_ts"].astype("datetime64[ns]")  # unit only
+    pd.testing.assert_frame_equal(
+        out[["event_id", "asof_ts", "asof_val"]].reset_index(drop=True),
+        want[["event_id", "asof_ts", "asof_val"]].reset_index(drop=True),
+    )
+
+
+def test_asof_rejects_non_arrow_schema():
+    """The Arrow-schema guard message names the fix (no Ray needed)."""
+    from xhs_ocr_ray.stages.joins import asof_join
+
+    class FakeSchema:
+        names = ["user_id", "ts"]
+        types = [int, pd.Timestamp]  # python types = pandas-block dataset
+
+    class FakeDs:
+        def schema(self):
+            return FakeSchema()
+
+    with pytest.raises(TypeError, match="Arrow schema"):
+        asof_join(FakeDs(), FakeDs(), by_col="user_id", ts_col="ts")
+
+
+def test_range_join_overlap_fanout(ray_session):
+    from xhs_ocr_ray.stages.joins import range_join_broadcast
+
+    left = _mk([
+        {"event_id": 1, "user_id": 0, "ts": _ts("2024-01-01 01:00")},
+        {"event_id": 2, "user_id": 0, "ts": _ts("2024-01-01 02:30")},  # in both
+        {"event_id": 3, "user_id": 0, "ts": _ts("2024-01-01 09:00")},  # in none
+    ], LEFT_SCHEMA)
+    ranges = pa.table({
+        "range_id": pa.array([10, 11], pa.int64()),
+        "start_ts": pa.array([_ts("2024-01-01 00:00"), _ts("2024-01-01 02:00")],
+                             pa.timestamp("us")),
+        "end_ts": pa.array([_ts("2024-01-01 03:00"), _ts("2024-01-01 05:00")],
+                           pa.timestamp("us")),
+    })
+    out = range_join_broadcast(
+        left, ranges, ts_col="ts", start_col="start_ts", end_col="end_ts",
+        range_cols=["range_id"],
+    ).to_pandas()
+    pairs = sorted(zip(out["event_id"], out["range_id"]))
+    assert pairs == [(1, 10), (2, 10), (2, 11)]

@@ -1,0 +1,170 @@
+"""Temporal joins Ray Data lacks natively: as-of join and range join.
+
+Both follow the repo's shuffle doctrine (CLAUDE.md): one bucketed exchange
+keyed by ``_add_key_bucket`` for the as-of join; a ``ray.put`` broadcast for
+the (small) range table — never a per-key ``map_groups`` dispatch and never
+a driver-side row loop.
+
+As-of join partitioning assumption: both sides hash-bucket on the equality
+key, so every key's full left+right history lands in one bucket and the
+per-bucket ``pd.merge_asof`` (a vectorized sorted-merge) is exact. Skewed
+keys cost what they cost — a single key's history must be co-located for
+as-of semantics; salt upstream if one key dominates.
+
+Range join assumption: the range table is SMALL (config/calendar-sized).
+It is broadcast once per run via ``ray.put`` and every batch matches against
+it with one numpy comparison matrix — O(batch × ranges) with no Python
+loop. For range tables too large to broadcast, compose instead: bucket both
+sides by a coarse time grid and run this kernel per bucket.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from xhs_ocr_ray.stages.bucketing import _add_key_bucket, default_num_buckets
+
+_KIND = "__kind"
+_RTS = "__rts"
+_RVAL = "__rval"
+
+
+def _pad_like(field: pa.Field, n: int) -> pa.Array:
+    """A null-free filler column of ``field``'s type (sentinels, never read:
+    the per-bucket kernel splits on ``__kind`` before touching payloads).
+    Nulls would do semantically, but an int64 column with nulls turns
+    float64 at the pandas boundary and silently corrupts ids ≥ 2^53."""
+    t = field.type
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return pa.array([""] * n, t)
+    if pa.types.is_timestamp(t):
+        return pa.array(np.zeros(n, dtype="int64"), pa.int64()).cast(t)
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return pa.array([b""] * n, t)
+    return pa.array(np.zeros(n, dtype="int64"), pa.int64()).cast(t)
+
+
+def asof_join(left_ds, right_ds, *, by_col: str, ts_col: str,
+              right_val_col: str | None = None,
+              direction: str = "backward",
+              out_ts: str = "asof_ts", out_val: str = "asof_val",
+              num_buckets: int | None = None):
+    """Attach to every left row the nearest right row per ``by_col``
+    (``direction='backward'``: latest right ``ts_col`` ≤ left ``ts_col``;
+    ``'forward'``: earliest ≥). Unmatched left rows keep null ``out_ts``.
+
+    Left payload columns pass through unchanged. ``right_val_col``
+    additionally carries one right-side value column into ``out_val``.
+    Equal right timestamps within a key are tie-broken by max
+    ``right_val_col`` (or arbitrarily when no value column) — callers
+    needing exact oracle parity should make the value a function of the
+    timestamp.
+
+    Both inputs must carry Arrow schemas (parquet reads / pyarrow
+    map_batches do; pandas-block datasets report Python types — convert
+    with a pyarrow map_batches pass first).
+    """
+    def _arrow_fields(ds) -> list[pa.Field]:
+        s = ds.schema()
+        fields = []
+        for n, t in zip(s.names, s.types):
+            if not isinstance(t, pa.DataType):
+                raise TypeError(
+                    f"asof_join needs an Arrow schema; column {n!r} reports "
+                    f"{t!r} (pandas-block input? add a pyarrow map_batches)"
+                )
+            fields.append(pa.field(n, t))
+        return fields
+
+    left_fields = _arrow_fields(left_ds)
+    right_schema = pa.schema(_arrow_fields(right_ds))
+    payload = [f for f in left_fields if f.name != by_col]
+    nb = num_buckets or default_num_buckets()
+
+    def tag_left(b: pa.Table) -> pa.Table:
+        cols = {by_col: b.column(by_col)}
+        for f in payload:
+            cols[f.name] = b.column(f.name)
+        cols[_RTS] = _pad_like(pa.field(_RTS, b.schema.field(ts_col).type),
+                               b.num_rows)
+        if right_val_col:
+            cols[_RVAL] = _pad_like(
+                pa.field(_RVAL, right_schema.field(right_val_col).type),
+                b.num_rows)
+        cols[_KIND] = pa.array(np.zeros(b.num_rows, dtype=np.int8))
+        return pa.table(cols)
+
+    def tag_right(b: pa.Table) -> pa.Table:
+        cols = {by_col: b.column(by_col)}
+        for f in payload:
+            cols[f.name] = _pad_like(f, b.num_rows)
+        cols[_RTS] = b.column(ts_col)
+        if right_val_col:
+            cols[_RVAL] = b.column(right_val_col)
+        cols[_KIND] = pa.array(np.ones(b.num_rows, dtype=np.int8))
+        return pa.table(cols)
+
+    payload_names = [f.name for f in payload]
+
+    def bucket_asof(chunk: pd.DataFrame) -> pd.DataFrame:
+        l = chunk[chunk[_KIND] == 0]
+        r = chunk[chunk[_KIND] == 1]
+        lf = l[[by_col, *payload_names]].sort_values(ts_col, kind="mergesort")
+        rcols = [by_col, _RTS] + ([_RVAL] if right_val_col else [])
+        # deterministic tie-break on equal right ts: merge_asof takes the
+        # LAST right row in sort order, so order ties by the value column
+        rsort = [_RTS, _RVAL] if right_val_col else [_RTS]
+        rf = r[rcols].sort_values(rsort, kind="mergesort")
+        if lf.empty:
+            out = lf.assign(**{_RTS: rf[_RTS].iloc[:0]})
+            if right_val_col:
+                out = out.assign(**{_RVAL: rf[_RVAL].iloc[:0]})
+        else:
+            out = pd.merge_asof(
+                lf, rf, left_on=ts_col, right_on=_RTS, by=by_col,
+                direction=direction, allow_exact_matches=True,
+            )
+        ren = {_RTS: out_ts}
+        if right_val_col:
+            ren[_RVAL] = out_val
+        return out.rename(columns=ren)
+
+    tagged = (
+        left_ds.map_batches(tag_left, batch_format="pyarrow")
+        .union(right_ds.map_batches(tag_right, batch_format="pyarrow"))
+        .map_batches(_add_key_bucket, batch_format="pyarrow",
+                     fn_kwargs={"key_cols": [by_col], "num_buckets": nb})
+    )
+    return tagged.groupby("__kb").map_groups(bucket_asof, batch_format="pandas")
+
+
+def range_join_broadcast(left_ds, ranges: pa.Table, *, ts_col: str,
+                         start_col: str, end_col: str,
+                         range_cols: list[str]):
+    """Inner-join every left row to every range with
+    ``start <= ts < end`` (ranges may overlap → row fan-out). The range
+    table is broadcast once via ``ray.put``; each batch computes one
+    vectorized comparison matrix and gathers matching (row, range) pairs."""
+    import ray
+
+    starts = ranges.column(start_col).cast(pa.int64()).to_numpy()
+    ends = ranges.column(end_col).cast(pa.int64()).to_numpy()
+    carried = {c: ranges.column(c) for c in range_cols}
+    ranges_ref = ray.put((starts, ends, carried))
+
+    def match(batch: pa.Table) -> pa.Table:
+        s, e, rc = ray.get(ranges_ref)
+        ts = batch.column(ts_col).cast(pa.int64()).to_numpy()
+        # (batch × ranges) bool matrix — the broadcast contract bounds the
+        # range count, so this stays a few MB per batch
+        mask = (ts[:, None] >= s[None, :]) & (ts[:, None] < e[None, :])
+        li, ri = np.nonzero(mask)
+        out = {name: batch.column(name).take(pa.array(li, pa.int64()))
+               for name in batch.column_names}
+        for name, col in rc.items():
+            out[name] = col.take(pa.array(ri, pa.int64()))
+        return pa.table(out)
+
+    return left_ds.map_batches(match, batch_format="pyarrow")

@@ -281,6 +281,33 @@ def _q_ann_index_topk(sf_dir: str):
     return pa.table({"vec_id": pa.array([i for i, _ in top], pa.int64())})
 
 
+def _q_ann_ivf_topk(sf_dir: str):
+    """IVF-index-backed top-10 at the exhaustive operating point
+    (nprobe = n_centroids probes every posting list → exactly brute force,
+    the oracle-checkable point). Pruned-nprobe recall/latency trades are
+    unit-tested (test_similarity_ray)."""
+    import hashlib
+
+    import pyarrow as pa
+
+    from xhs_ocr_ray.stages.similarity import IvfIndexSearch
+
+    q = _query_vec(sf_dir)
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    tag = hashlib.blake2b(
+        f"{os.path.abspath(src)}|{st.st_size}|{st.st_mtime_ns}".encode(),
+        digest_size=4,
+    ).hexdigest()
+    idx = IvfIndexSearch(
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
+        n_centroids=16, nprobe=16,
+        index_dir=f"/tmp/xhs_ann_cache/{tag}_ivf16_v1", reuse_existing=True,
+    )
+    top = idx.search(q, k=10)
+    return pa.table({"vec_id": pa.array([i for i, _ in top], pa.int64())})
+
+
 def _ensure_sidecar_jsonl(sf_dir: str) -> str:
     """Deterministic typed-sidecar fixture derived from the nation table:
     one user-info record per nation, format cycling tiktok/weibo/xhs with
@@ -812,6 +839,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": _q_fingerprint,
         "ann_topk": _q_ann_topk,
         "ann_index_topk": _q_ann_index_topk,
+        "ann_ivf_topk": _q_ann_ivf_topk,
         "sidecar_join": _q_sidecar_join,
         "sidecar_typed": _q_sidecar_typed,
         "semi_join": _q_semi_join,
@@ -1105,6 +1133,13 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 10
         """,
         "ann_index_topk": """
+            SELECT e.vec_id
+            FROM embeddings e,
+                 (SELECT embedding AS q FROM embeddings WHERE vec_id = 0)
+            ORDER BY list_cosine_similarity(e.embedding, q) DESC, e.vec_id
+            LIMIT 10
+        """,
+        "ann_ivf_topk": """
             SELECT e.vec_id
             FROM embeddings e,
                  (SELECT embedding AS q FROM embeddings WHERE vec_id = 0)

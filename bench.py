@@ -29,7 +29,7 @@ REPLICAS = int(os.environ.get("BENCH_REPLICAS", "64"))
 QUERY_NAMES = [
     "window_filter", "related_merge", "related_count", "unrelated_merge", "exact_dedup",
     "lineage_metrics", "pricing_summary", "token_count", "quality_score",
-    "fingerprint", "ann_topk", "ann_index_topk", "minhash_dedup", "simhash_dedup",
+    "fingerprint", "ann_topk", "ann_index_topk", "ann_ivf_topk", "minhash_dedup", "simhash_dedup",
     "embedding_neardup", "lang_id", "lang_id_cjk", "sidecar_join", "sidecar_typed", "semi_join", "anti_join",
     "top_customers", "count_distinct", "window_tumbling", "sessionize",
     "hopping_window", "hash_split", "token_topk", "ngram_jaccard",

@@ -281,10 +281,17 @@ class IvfIndexSearch:
     def __init__(self, ds, *, vec_col: str = "embedding", id_col: str = "vec_id",
                  n_centroids: int = 16, nprobe: int = 3, iters: int = 5,
                  sample: int = 2048, seed: int = 13,
-                 index_dir: str | None = None):
+                 index_dir: str | None = None, reuse_existing: bool = False):
         self.vec_col, self.id_col = vec_col, id_col
         self.nprobe = nprobe
         self.index_dir = _index_dir(index_dir, "ivf")
+        marker = os.path.join(self.index_dir, "_INDEX_BUILT")
+        cfile = os.path.join(self.index_dir, "_centroids.npy")
+        if reuse_existing and os.path.exists(marker) and os.path.exists(cfile):
+            # centroids persist with the posting lists, so a reused index
+            # needs no training pass (and no input read at all)
+            self.centroids = np.load(cfile)
+            return
         sample_vals = ds.limit(sample).select_columns([vec_col]).to_pandas()[vec_col]
         mat = np.asarray(sample_vals.tolist(), dtype=np.float32)
         norms = np.linalg.norm(mat, axis=1, keepdims=True)
@@ -340,6 +347,10 @@ class IvfIndexSearch:
                 tmp_dir, partition_cols=["cid"]
             )
             if os.path.isdir(tmp_dir):
+                np.save(os.path.join(tmp_dir, "_centroids.npy"),
+                        self.centroids)
+                with open(os.path.join(tmp_dir, "_INDEX_BUILT"), "w") as f:
+                    f.write("ok\n")
                 if os.path.isdir(self.index_dir):
                     shutil.rmtree(self.index_dir)
                 os.rename(tmp_dir, self.index_dir)

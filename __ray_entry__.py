@@ -825,6 +825,37 @@ def _q_range_join(sf_dir: str):
     ).select_columns(["event_id", "range_id"])
 
 
+def _q_grouped_topk(sf_dir: str):
+    """Top-3 orders per priority class by total price (row_number window)."""
+    from xhs_ocr_ray.stages.ranking import grouped_topk
+
+    return grouped_topk(
+        _read(sf_dir, "orders",
+              columns=["o_orderpriority", "o_orderkey", "o_totalprice"]),
+        ["o_orderpriority"], "o_totalprice", 3,
+        descending=True, tie_cols=("o_orderkey",), rank_col="rnk",
+    ).select_columns(["o_orderpriority", "o_orderkey", "o_totalprice", "rnk"])
+
+
+def _q_grouped_quantiles(sf_dir: str):
+    """Exact p50/p90 of order price per priority (quantile_disc semantics)."""
+    from xhs_ocr_ray.stages.ranking import grouped_quantiles
+
+    return grouped_quantiles(
+        _read(sf_dir, "orders", columns=["o_orderpriority", "o_totalprice"]),
+        ["o_orderpriority"], "o_totalprice", {"p50": 0.5, "p90": 0.9},
+    )
+
+
+def _q_tfidf_topk(sf_dir: str):
+    """Global top-10 (doc, token) pairs by tf-idf over the documents table."""
+    from xhs_ocr_ray.stages.text_analysis import tfidf_topk
+
+    return tfidf_topk(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]), k=10
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "window_filter": _q_window_filter,
@@ -862,6 +893,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "png_features": _q_png_features,
         "asof_join": _q_asof_join,
         "range_join": _q_range_join,
+        "grouped_topk": _q_grouped_topk,
+        "grouped_quantiles": _q_grouped_quantiles,
+        "tfidf_topk": _q_tfidf_topk,
     }
 
 
@@ -1191,6 +1225,40 @@ def oracle_sql() -> dict[str, str]:
              AND e.ts <  TIMESTAMP '2024-01-01'
                          + n.n_nationkey * INTERVAL '12 hours'
                          + INTERVAL '18 hours'
+        """,
+        "grouped_topk": """
+            SELECT o_orderpriority, o_orderkey, o_totalprice, rnk FROM (
+              SELECT o_orderpriority, o_orderkey, o_totalprice,
+                     row_number() OVER (
+                       PARTITION BY o_orderpriority
+                       ORDER BY o_totalprice DESC, o_orderkey
+                     ) AS rnk
+              FROM orders
+            ) WHERE rnk <= 3
+        """,
+        "grouped_quantiles": """
+            SELECT o_orderpriority,
+                   quantile_disc(o_totalprice, 0.5) AS p50,
+                   quantile_disc(o_totalprice, 0.9) AS p90
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "tfidf_topk": """
+            WITH tok AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS token
+              FROM documents
+            ), tf AS (
+              SELECT doc_id, token, COUNT(*) AS tf
+              FROM tok WHERE token <> '' GROUP BY doc_id, token
+            ), df AS (
+              SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+            ), n AS (SELECT COUNT(*) AS n FROM documents)
+            SELECT tf.doc_id, tf.token,
+                   CAST(tf.tf AS DOUBLE)
+                     * ln(CAST(n.n AS DOUBLE) / df.df) AS tfidf
+            FROM tf, df, n
+            WHERE tf.token = df.token
+            ORDER BY tfidf DESC, tf.token, tf.doc_id
+            LIMIT 10
         """,
         "lang_id": _lang_id_sql(),
         # -- CJK-branch corpus is routed by doc_id, so the result is a CASE

@@ -103,6 +103,107 @@ class LangId:
         return batch.append_column("lang_pred", pa.array(langs, pa.string()))
 
 
+def doc_token_tf(batch: pa.Table, text_col: str = "text",
+                 id_col: str = "doc_id") -> pa.Table:
+    """Explode documents to (id, token, tf) rows — term frequency needs no
+    shuffle because one document is one input row. Tokenization matches
+    DuckDB ``string_split(text, ' ')`` + drop-empties (single-space split,
+    NOT ``.split()``, which would also split on tabs/newlines)."""
+    from collections import Counter
+
+    ids_out: list = []
+    toks_out: list[str] = []
+    tfs_out: list[int] = []
+    ids = batch.column(id_col).to_pylist()
+    for i, t in zip(ids, batch.column(text_col).to_pylist()):
+        c = Counter(w for w in (t or "").split(" ") if w)
+        ids_out.extend([i] * len(c))
+        toks_out.extend(c.keys())
+        tfs_out.extend(c.values())
+    return pa.table({
+        id_col: pa.array(ids_out, pa.int64()),
+        "token": pa.array(toks_out, pa.string()),
+        "tf": pa.array(tfs_out, pa.int64()),
+    })
+
+
+def tfidf_topk(ds, *, text_col: str = "text", id_col: str = "doc_id",
+               k: int = 10, n_docs: int | None = None):
+    """Global top-k (doc, token) pairs by tf-idf = tf * ln(N / df).
+
+    Composition: tokenize (no shuffle) → document frequency via the
+    partial-counts + Sum idiom (one small token shuffle) → df attached back
+    to tf rows with the bucketed hash join (``dedup._bucket_attach`` — the
+    vocabulary is NOT broadcast; at web scale it doesn't fit a worker) →
+    per-batch local top-k combiner → tiny final sort+limit.
+
+    ``ln`` goes through ``math.log`` (libm), the same kernel DuckDB's ``ln``
+    uses, so scores are bit-identical to the SQL oracle; ties are broken by
+    (token, id) so the top-k SET is deterministic.
+    """
+    import math
+
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    from xhs_ocr_ray.stages.dedup import _bucket_attach
+
+    if n_docs is None:
+        n_docs = ds.count()
+    n = float(n_docs)
+
+    tf_ds = ds.map_batches(doc_token_tf, batch_format="pyarrow",
+                           fn_kwargs={"text_col": text_col, "id_col": id_col})
+
+    def partial_df(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        out = (
+            pd.DataFrame({"token": batch.column("token").to_pylist()})
+            .groupby("token", sort=False).size().reset_index(name="df_n")
+        )
+        return arrow_from_pandas(out)
+
+    df_ds = (
+        tf_ds.map_batches(partial_df, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("df_n", alias_name="df"))
+    )
+
+    left_schema = pa.schema(
+        [(id_col, pa.int64()), ("token", pa.string()), ("tf", pa.int64())]
+    )
+    joined = _bucket_attach(tf_ds, "token", df_ds, "token", "df", "df",
+                            left_schema=left_schema, val_type=pa.int64())
+
+    def score_and_local_topk(chunk) -> pa.Table:
+        import pandas as pd
+
+        if not len(chunk):
+            return pd.DataFrame({
+                id_col: pd.Series([], dtype="int64"),
+                "token": pd.Series([], dtype=object),
+                "tfidf": pd.Series([], dtype="float64"),
+            })
+        dfs = chunk["df"].to_numpy()
+        uniq, inv = np.unique(dfs, return_inverse=True)
+        # math.log (libm) per distinct df, not np.log (SIMD log can differ
+        # from libm in the last ulp and break the oracle hash)
+        logs = np.array([math.log(n / d) for d in uniq], dtype=np.float64)
+        out = chunk.assign(
+            tfidf=chunk["tf"].to_numpy().astype(np.float64) * logs[inv]
+        )[[id_col, "token", "tfidf"]]
+        return out.sort_values(["tfidf", "token", id_col],
+                               ascending=[False, True, True],
+                               kind="mergesort").head(k)
+
+    return (
+        joined.map_batches(score_and_local_topk, batch_format="pandas")
+        .sort(["tfidf", "token", id_col], descending=[True, False, False])
+        .limit(k)
+    )
+
+
 def grouped_partial_counts(batch: pa.Table, group_cols: list[str],
                            sum_col: str | None = None) -> pa.Table:
     """Per-batch combiner: one row per group key with count (+ optional sum).

@@ -32,6 +32,49 @@ def test_round_trip_uncompressed_and_mixed():
     assert _text_of(build_pdf(streams, compress=[True, False])) == "page one\npage two\n"
 
 
+def test_all_stream_filters_extract_identically():
+    """Every supported /Filter chain yields byte-identical extraction to the
+    Flate baseline (decoders: LZW, ASCIIHex, ASCII85, RunLength, chains)."""
+    paras = [f"filter paragraph {i} some words repeated words" for i in range(30)]
+    stream = page_content([(72.0, 720.0 - 34.0 * i, t)
+                           for i, t in enumerate(paras[:18])])
+    for chain in (["LZWDecode"], ["ASCIIHexDecode"], ["ASCII85Decode"],
+                  ["RunLengthDecode"], ["ASCII85Decode", "FlateDecode"],
+                  ["ASCIIHexDecode", "LZWDecode"],
+                  ["RunLengthDecode", "FlateDecode"]):
+        got = _text_of(build_pdf([stream], compress=[chain]))
+        assert got == "\n".join(paras[:18]) + "\n", chain
+    # mixed chains across pages of one document
+    streams = [page_content([(72.0, 720.0, "alpha page")]),
+               page_content([(72.0, 720.0, "beta page")]),
+               page_content([(72.0, 720.0, "gamma page")])]
+    got = _text_of(build_pdf(
+        streams, compress=[["LZWDecode"], True, ["ASCII85Decode", "FlateDecode"]]
+    ))
+    assert got == "alpha page\nbeta page\ngamma page\n"
+
+
+def test_unknown_filter_skipped_not_fatal():
+    """A DCTDecode (JPEG) stream is skipped; the document still fails soft
+    (None) rather than raising."""
+    body = (b"%PDF-1.4\n1 0 obj << /Type /Page /Contents 2 0 R >> endobj\n"
+            b"2 0 obj << /Filter /DCTDecode /Length 4 >>\n"
+            b"stream\n\xff\xd8\xff\xe0\nendstream endobj\n")
+    assert extract_pdf_blocks(body) is None
+
+
+def test_lzw_long_stream_clear_codes():
+    """LZW streams long enough to force table clears still roundtrip through
+    the full PDF path."""
+    paras = [f"wordy line {i} w{i} " + " ".join(f"t{j}" for j in range(60))
+             for i in range(18)]
+    stream = page_content([(72.0, 720.0 - 34.0 * i, t)
+                           for i, t in enumerate(paras)])
+    assert len(stream) > 4000  # forces multiple table resets in the encoder
+    got = _text_of(build_pdf([stream], compress=[["LZWDecode"]]))
+    assert got == "\n".join(paras) + "\n"
+
+
 def test_escapes_and_hex_and_tj():
     content = (
         b"BT /F1 12 Tf\n"

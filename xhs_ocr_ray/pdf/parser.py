@@ -10,8 +10,10 @@ Scope (documented, deliberate):
 
 - object discovery by tolerant ``N G obj … endobj`` scan — works with or
   without a valid xref table (crawled PDFs are routinely truncated);
-- stream filters: none and ``/FlateDecode`` (stdlib zlib, with raw-deflate
-  and truncated-tail fallbacks); other filters (DCT, LZW, …) are skipped;
+- stream filters: none, ``/FlateDecode`` (stdlib zlib, with raw-deflate and
+  truncated-tail fallbacks), ``/LZWDecode``, ``/ASCIIHexDecode``,
+  ``/ASCII85Decode``, ``/RunLengthDecode`` — including ``[/A /B]`` filter
+  chains applied in order; image-only filters (DCT, JBIG2, JPX) are skipped;
 - text operators: BT/ET, Tf, TL, Tm, Td, TD, T*, Tj, ', ", TJ;
 - strings: literal ``(…)`` with nesting/escapes/octal and hex ``<…>``.
   Simple fonts decode as Latin-1 (correct for the Standard/WinAnsi
@@ -44,10 +46,10 @@ _CONTENTS_REF_RE = re.compile(rb"/Contents\s+(\d+)\s+\d+\s+R")
 _CONTENTS_ARR_RE = re.compile(rb"/Contents\s*\[((?:\s*\d+\s+\d+\s+R)+)\s*\]")
 _REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
 _KIDS_RE = re.compile(rb"/Kids\s*\[((?:\s*\d+\s+\d+\s+R)+)\s*\]")
-_FLATE_RE = re.compile(rb"/Filter\s*(?:\[\s*)?/FlateDecode")
-_OTHER_FILTER_RE = re.compile(
-    rb"/Filter\s*(?:\[\s*)?/(?!FlateDecode)[A-Za-z0-9]+"
+_FILTER_SPEC_RE = re.compile(
+    rb"/Filter\s*(\[(?:\s*/[A-Za-z0-9]+)+\s*\]|/[A-Za-z0-9]+)"
 )
+_FILTER_NAME_RE = re.compile(rb"/([A-Za-z0-9]+)")
 _MEDIABOX_RE = re.compile(
     rb"/MediaBox\s*\[\s*([\d.+-]+)\s+([\d.+-]+)\s+([\d.+-]+)\s+([\d.+-]+)\s*\]"
 )
@@ -77,6 +79,113 @@ def _inflate(data: bytes) -> bytes | None:
             except zlib.error:
                 continue
     return None
+
+
+def _lzw_decode(data: bytes, early: int = 1) -> bytes | None:
+    """PDF LZWDecode (spec 7.4.4): 9→12-bit variable-width codes, clear=256,
+    EOD=257, EarlyChange width bumps per the common reader convention
+    (pdfminer/pdf.js): width grows when table size + early reaches 2^bits."""
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    bits, buf, nbits = 9, 0, 0
+    prev: bytes | None = None
+    for byte in data:
+        buf = (buf << 8) | byte
+        nbits += 8
+        while nbits >= bits:
+            nbits -= bits
+            code = (buf >> nbits) & ((1 << bits) - 1)
+            if code == 256:
+                del table[258:]
+                bits, prev = 9, None
+                continue
+            if code == 257:
+                return bytes(out)
+            if prev is None:
+                if code > 257:
+                    return None
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                return None
+            out += entry
+            prev = entry
+            if len(table) + early >= (1 << bits) and bits < 12:
+                bits += 1
+            if len(table) > 4096:
+                return None
+    return bytes(out)  # tolerate a missing EOD (truncated tail)
+
+
+def _ascii_hex_decode(data: bytes) -> bytes | None:
+    body = data.split(b">", 1)[0]
+    digits = bytes(c for c in body if not chr(c).isspace())
+    if len(digits) % 2:
+        digits += b"0"
+    try:
+        return bytes.fromhex(digits.decode("ascii"))
+    except ValueError:
+        return None
+
+
+def _ascii85_decode(data: bytes) -> bytes | None:
+    import base64
+
+    body = data.split(b"~>", 1)[0]
+    try:
+        return base64.a85decode(bytes(
+            c for c in body if not chr(c).isspace()
+        ))
+    except ValueError:
+        return None
+
+
+def _runlength_decode(data: bytes) -> bytes | None:
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        l = data[i]
+        if l == 128:  # EOD
+            return bytes(out)
+        if l < 128:
+            out += data[i + 1:i + 2 + l]
+            i += 2 + l
+        else:
+            if i + 1 >= n:
+                return None
+            out += data[i + 1:i + 2] * (257 - l)
+            i += 2
+    return bytes(out)
+
+
+_STREAM_DECODERS = {
+    b"FlateDecode": _inflate, b"Fl": _inflate,
+    b"LZWDecode": _lzw_decode, b"LZW": _lzw_decode,
+    b"ASCIIHexDecode": _ascii_hex_decode, b"AHx": _ascii_hex_decode,
+    b"ASCII85Decode": _ascii85_decode, b"A85": _ascii85_decode,
+    b"RunLengthDecode": _runlength_decode, b"RL": _runlength_decode,
+}
+
+
+def decode_stream(body: bytes, data: bytes) -> bytes | None:
+    """Apply the ``/Filter`` chain named in object ``body`` to stream
+    ``data``. Unknown filters (DCTDecode, JBIG2, crypt, …) → None."""
+    fm = _FILTER_SPEC_RE.search(body)
+    if fm is None:
+        return data
+    for name in _FILTER_NAME_RE.findall(fm.group(1)):
+        dec = _STREAM_DECODERS.get(name)
+        if dec is None:
+            return None
+        data = dec(data)
+        if data is None:
+            return None
+    return data
 
 
 def _scan_literal(data: bytes, i: int) -> tuple[bytes, int]:
@@ -368,12 +477,7 @@ def extract_pdf_blocks(payload: bytes) -> list[dict] | None:
             sm = _STREAM_RE.search(body)
             if sm is None:
                 return None
-            data = sm.group(1)
-            if _FLATE_RE.search(body):
-                return _inflate(data)
-            if _OTHER_FILTER_RE.search(body):
-                return None  # unsupported filter
-            return data
+            return decode_stream(body, sm.group(1))
 
         # Composite fonts: any object with /ToUnicode gets its CMap parsed
         # once; pages resolve their /Resources /Font names against these.

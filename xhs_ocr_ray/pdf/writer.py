@@ -23,6 +23,91 @@ FONT_SIZE = 12.0
 PARA_STEP = 34.0  # > LINE_SPACING_FACTOR × font size → one paragraph per line
 
 
+def _lzw_encode(data: bytes) -> bytes:
+    """PDF LZWDecode-compatible encoder. Emits a CLEAR whenever the table
+    nears the 9-bit ceiling, so every code stays 9 bits wide — valid LZW
+    (encoders may clear at will) that sidesteps the EarlyChange width
+    ambiguity entirely."""
+    out = bytearray()
+    buf = nbits = 0
+
+    def emit(code: int) -> None:
+        nonlocal buf, nbits
+        buf = (buf << 9) | code
+        nbits += 9
+        while nbits >= 8:
+            nbits -= 8
+            out.append((buf >> nbits) & 0xFF)
+
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    emit(256)
+    w = b""
+    for i in range(len(data)):
+        ch = data[i:i + 1]
+        wc = w + ch
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w])
+        table[wc] = next_code
+        next_code += 1
+        w = ch
+        if next_code >= 500:  # stay comfortably under the 9-bit ceiling
+            emit(256)
+            table = {bytes([j]): j for j in range(256)}
+            next_code = 258
+    if w:
+        emit(table[w])
+    emit(257)
+    if nbits:
+        out.append((buf << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _runlength_encode(data: bytes) -> bytes:
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        j = i
+        while j + 1 < n and data[j + 1] == data[i] and j - i < 127:
+            j += 1
+        if j > i + 1:  # run of ≥3 → repeat form
+            out += bytes([257 - (j - i + 1), data[i]])
+            i = j + 1
+            continue
+        j = i + 1  # literal run up to 128, stopping before a ≥3 repeat
+        while j < n and j - i < 128:
+            if j + 2 < n and data[j] == data[j + 1] == data[j + 2]:
+                break
+            j += 1
+        out += bytes([j - i - 1]) + data[i:j]
+        i = j
+    out.append(128)
+    return bytes(out)
+
+
+def encode_stream(content: bytes, filters: list[str]) -> bytes:
+    """Encode ``content`` so that applying the ``/Filter`` chain ``filters``
+    (decode order) recovers it — encoders run in reverse order."""
+    import base64
+
+    for name in reversed(filters):
+        if name == "FlateDecode":
+            content = zlib.compress(content)
+        elif name == "LZWDecode":
+            content = _lzw_encode(content)
+        elif name == "ASCIIHexDecode":
+            content = content.hex().encode("ascii") + b">"
+        elif name == "ASCII85Decode":
+            content = base64.a85encode(content) + b"~>"
+        elif name == "RunLengthDecode":
+            content = _runlength_encode(content)
+        else:
+            raise ValueError(f"no encoder for {name}")
+    return content
+
+
 def _esc(text: str) -> bytes:
     return (
         text.encode("latin-1", errors="replace")
@@ -71,7 +156,9 @@ def build_pdf(content_streams: list[bytes], *,
               compress: bool | list[bool] = True,
               cid_charmap: dict[str, int] | None = None) -> bytes:
     """Assemble a valid PDF: one page per content stream. ``compress`` may
-    be a per-page list (mixed raw/Flate streams in one file).
+    be a per-page list (mixed streams in one file); each entry is a bool
+    (False=raw, True=Flate) or an explicit filter-name chain in decode
+    order, e.g. ``["ASCII85Decode", "FlateDecode"]`` or ``["LZWDecode"]``.
 
     ``cid_charmap`` (char → CID) adds an ``/F2`` Identity-H Type0 font with
     a ToUnicode CMap; content streams may then show text as 2-byte-CID hex
@@ -115,8 +202,15 @@ def build_pdf(content_streams: list[bytes], *,
             f"/Resources << /Font << {fonts} >> >> "
             f"/Contents {cont_num} 0 R >>"
         ).encode("ascii")
-        data = zlib.compress(content) if comp_flags[i] else content
-        filt = b"/Filter /FlateDecode " if comp_flags[i] else b""
+        flag = comp_flags[i]
+        if isinstance(flag, (list, tuple)):  # explicit filter chain
+            data = encode_stream(content, list(flag))
+            names = " ".join(f"/{n}" for n in flag)
+            filt = (f"/Filter [{names}] " if len(flag) > 1
+                    else f"/Filter /{flag[0]} ").encode("ascii")
+        else:
+            data = zlib.compress(content) if flag else content
+            filt = b"/Filter /FlateDecode " if flag else b""
         objs[cont_num] = (
             b"<< " + filt + b"/Length %d >>\nstream\n" % len(data)
             + data + b"\nendstream"
@@ -174,8 +268,10 @@ def build_cjk_text_pdf(paragraphs: list[str], *, paras_per_page: int = 18,
 
 
 def build_text_pdf(paragraphs: list[str], *, paras_per_page: int = 18,
-                   compress: bool = True) -> bytes:
-    """One text line per paragraph, top-down, paginated.
+                   compress: bool | list = True) -> bytes:
+    """One text line per paragraph, top-down, paginated. ``compress`` may
+    also be a filter-name chain (see :func:`build_pdf`) applied to every
+    page stream.
 
     Geometry contract (frozen — the corpus oracle depends on it): each
     paragraph renders as ONE line at x=72 stepping PARA_STEP down, so the
@@ -192,4 +288,6 @@ def build_text_pdf(paragraphs: list[str], *, paras_per_page: int = 18,
         streams.append(page_content(lines))
     if not streams:
         streams = [page_content([])]
+    if isinstance(compress, list):
+        compress = [compress] * len(streams)
     return build_pdf(streams, compress=compress)

@@ -12,8 +12,9 @@ Two generators:
    ``(url, warc_ts, html, text, lang)``. Fully deterministic in ``doc_id``:
 
    - ``doc_id % 17 == 3``  → %LAYOUT1 text-box payload (layout/PDF path);
-   - ``doc_id % 23 == 5``  → a real Flate-compressed PDF of the text's
-     paragraphs (PDF decode path, ``xhs_ocr_ray.pdf``);
+   - ``doc_id % 23 == 5``  → a real PDF of the text's paragraphs (PDF
+     decode path, ``xhs_ocr_ray.pdf``), stream encoding cycling
+     Flate / ASCII85+Flate / RunLength / LZW by ``doc_id``;
    - ``doc_id % 29 == 13`` → metrics-panel page (masked-span profile path:
      the first profile fails its field-count check, the fallback binds
      views/likes/shares — the reference's mask-fallback loop at scale);
@@ -226,7 +227,15 @@ def pages_from_documents(batch: pa.Table, replicas: int = 1) -> pa.Table:
         elif doc_id % 23 == 5:
             from xhs_ocr_ray.pdf import build_text_pdf
 
-            kind, payload = "pdf", build_text_pdf(_paragraphs(text))
+            # cycle the stream encoding so the flagship exercises every
+            # supported /Filter at corpus scale (text is identical either
+            # way — the extraction oracle is encoding-independent)
+            filt: bool | list = [
+                True, ["ASCII85Decode", "FlateDecode"],
+                ["RunLengthDecode"], ["LZWDecode"],
+            ][(doc_id // 23) % 4]
+            kind, payload = "pdf", build_text_pdf(_paragraphs(text),
+                                                  compress=filt)
         elif doc_id % 29 == 13:
             kind, payload = "metrics", build_metrics_html(doc_id, title)
         elif doc_id % 199 == 11:
@@ -256,7 +265,7 @@ def pages_from_documents(batch: pa.Table, replicas: int = 1) -> pa.Table:
     )
 
 
-GENERATOR_VERSION = 7  # bump to invalidate /tmp page caches
+GENERATOR_VERSION = 8  # bump to invalidate /tmp page caches
 
 
 def ensure_pages_parquet(sf_dir: str, cache_root: str = "/tmp/xhs_pages_cache",

@@ -847,6 +847,27 @@ def _q_grouped_quantiles(sf_dir: str):
     )
 
 
+def _q_shuffle_join(sf_dir: str):
+    """Large×large distributed hash join: every customer left-joined to
+    their URGENT orders (unmatched customers keep typed-null order cols).
+    Neither side is broadcast — one bucketed exchange each (stages/joins.py)."""
+    import pyarrow.compute as pc
+
+    from xhs_ocr_ray.stages.joins import shuffle_join
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    urgent = _read(
+        sf_dir, "orders",
+        columns=["o_custkey", "o_orderkey", "o_totalprice", "o_orderpriority"],
+    ).map_batches(
+        lambda b: b.filter(pc.equal(b.column("o_orderpriority"), _URGENT))
+                   .drop_columns(["o_orderpriority"]),
+        batch_format="pyarrow",
+    )
+    return shuffle_join(cust, urgent, on="c_custkey", right_on="o_custkey",
+                        how="left")
+
+
 def _q_tfidf_topk(sf_dir: str):
     """Global top-10 (doc, token) pairs by tf-idf over the documents table."""
     from xhs_ocr_ray.stages.text_analysis import tfidf_topk
@@ -893,6 +914,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "png_features": _q_png_features,
         "asof_join": _q_asof_join,
         "range_join": _q_range_join,
+        "shuffle_join": _q_shuffle_join,
         "grouped_topk": _q_grouped_topk,
         "grouped_quantiles": _q_grouped_quantiles,
         "tfidf_topk": _q_tfidf_topk,
@@ -1225,6 +1247,13 @@ def oracle_sql() -> dict[str, str]:
              AND e.ts <  TIMESTAMP '2024-01-01'
                          + n.n_nationkey * INTERVAL '12 hours'
                          + INTERVAL '18 hours'
+        """,
+        "shuffle_join": f"""
+            SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+            FROM customer c LEFT JOIN (
+              SELECT o_custkey, o_orderkey, o_totalprice FROM orders
+              WHERE o_orderpriority = '{_URGENT}'
+            ) o ON o.o_custkey = c.c_custkey
         """,
         "grouped_topk": """
             SELECT o_orderpriority, o_orderkey, o_totalprice, rnk FROM (

@@ -34,7 +34,7 @@ QUERY_NAMES = [
     "top_customers", "count_distinct", "window_tumbling", "sessionize",
     "hopping_window", "hash_split", "token_topk", "ngram_jaccard",
     "png_features", "asof_join", "range_join",
-    "grouped_topk", "grouped_quantiles", "tfidf_topk",
+    "grouped_topk", "grouped_quantiles", "tfidf_topk", "shuffle_join",
 ]
 
 

@@ -117,6 +117,92 @@ def test_asof_rejects_non_arrow_schema():
         asof_join(FakeDs(), FakeDs(), by_col="user_id", ts_col="ts")
 
 
+def test_shuffle_join_inner_fanout(ray_session):
+    from xhs_ocr_ray.stages.joins import shuffle_join
+
+    left = _mk([
+        {"event_id": 1, "user_id": 7, "ts": _ts("2024-01-01")},
+        {"event_id": 2, "user_id": 7, "ts": _ts("2024-01-02")},
+        {"event_id": 3, "user_id": 8, "ts": _ts("2024-01-03")},
+        {"event_id": 4, "user_id": 9, "ts": _ts("2024-01-04")},  # no right
+    ], LEFT_SCHEMA)
+    right = _mk([
+        {"user_id": 7, "ts": _ts("2024-02-01"), "price": 1.5},
+        {"user_id": 7, "ts": _ts("2024-02-02"), "price": 2.5},  # fan-out ×2
+        {"user_id": 8, "ts": _ts("2024-02-03"), "price": 3.5},
+    ], RIGHT_SCHEMA).map_batches(
+        lambda b: b.rename_columns(["user_id", "rts", "price"]),
+        batch_format="pyarrow",
+    )
+    out = shuffle_join(left, right, on="user_id").to_pandas()
+    got = sorted(zip(out["event_id"], out["price"]))
+    assert got == [(1, 1.5), (1, 2.5), (2, 1.5), (2, 2.5), (3, 3.5)]
+
+
+def test_shuffle_join_left_null_types(ray_session):
+    """Left join pads unmatched rows with TYPED nulls (int64 stays int64)."""
+    import ray.data
+    from xhs_ocr_ray.stages.joins import shuffle_join
+
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3], pa.int64()),
+        "lval": pa.array(["a", "b", "c"], pa.string()),
+    }))
+    big = 2**61 + 1  # would corrupt through a float64 round-trip
+    right = ray.data.from_arrow(pa.table({
+        "k": pa.array([1], pa.int64()),
+        "rid": pa.array([big], pa.int64()),
+    }))
+    out = shuffle_join(left, right, on="k", how="left")
+    t = pa.concat_tables(ray.get(r) for r in out.to_arrow_refs())
+    assert t.schema.field("rid").type == pa.int64()
+    by_k = {k: v for k, v in zip(t.column("k").to_pylist(),
+                                 t.column("rid").to_pylist())}
+    assert by_k == {1: big, 2: None, 3: None}
+
+
+def test_shuffle_join_matches_pandas_reference(ray_session):
+    """Random many-key corpus vs a driver-side pandas merge."""
+    import ray.data
+    from xhs_ocr_ray.stages.joins import shuffle_join
+
+    rng = np.random.default_rng(11)
+    lt = pd.DataFrame({
+        "k": rng.integers(0, 40, 600).astype(np.int64),
+        "lid": np.arange(600, dtype=np.int64),
+    })
+    rt = pd.DataFrame({
+        "k": rng.integers(0, 50, 300).astype(np.int64),
+        "rv": rng.normal(size=300).round(3),
+    })
+    want = lt.merge(rt, on="k", how="inner")
+    out = shuffle_join(
+        ray.data.from_arrow(pa.Table.from_pandas(lt, preserve_index=False)),
+        ray.data.from_arrow(pa.Table.from_pandas(rt, preserve_index=False)),
+        on="k",
+    ).to_pandas()
+    key = ["k", "lid", "rv"]
+    pd.testing.assert_frame_equal(
+        out[key].sort_values(key).reset_index(drop=True),
+        want[key].sort_values(key).reset_index(drop=True),
+    )
+
+
+def test_shuffle_join_rejects_name_clash():
+    from xhs_ocr_ray.stages.joins import shuffle_join
+
+    class FakeSchema:
+        names = ["k", "v"]
+        types = [pa.int64(), pa.int64()]
+
+    class FakeDs:
+        def schema(self):
+            return FakeSchema()
+
+    with pytest.raises(ValueError, match="collide"):
+        shuffle_join(FakeDs(), FakeDs(), on="k")
+
+
 def test_range_join_overlap_fanout(ray_session):
     from xhs_ocr_ray.stages.joins import range_join_broadcast
 

@@ -1,9 +1,10 @@
-"""Temporal joins Ray Data lacks natively: as-of join and range join.
+"""Joins Ray Data lacks natively: as-of join, range join, and a
+large×large shuffle hash join.
 
-Both follow the repo's shuffle doctrine (CLAUDE.md): one bucketed exchange
-keyed by ``_add_key_bucket`` for the as-of join; a ``ray.put`` broadcast for
-the (small) range table — never a per-key ``map_groups`` dispatch and never
-a driver-side row loop.
+All follow the repo's shuffle doctrine (CLAUDE.md): one bucketed exchange
+keyed by ``_add_key_bucket`` for the as-of and shuffle joins; a ``ray.put``
+broadcast for the (small) range table — never a per-key ``map_groups``
+dispatch and never a driver-side row loop.
 
 As-of join partitioning assumption: both sides hash-bucket on the equality
 key, so every key's full left+right history lands in one bucket and the
@@ -23,6 +24,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from xhs_ocr_ray.stages.bucketing import _add_key_bucket, default_num_buckets
 
@@ -138,6 +140,98 @@ def asof_join(left_ds, right_ds, *, by_col: str, ts_col: str,
                      fn_kwargs={"key_cols": [by_col], "num_buckets": nb})
     )
     return tagged.groupby("__kb").map_groups(bucket_asof, batch_format="pandas")
+
+
+def shuffle_join(left_ds, right_ds, *, on: str | list[str],
+                 right_on: str | list[str] | None = None,
+                 how: str = "inner", num_buckets: int | None = None):
+    """Large×large distributed hash join (``broadcast_join``'s complement:
+    use it when NEITHER side fits the 5M-row broadcast guard).
+
+    Both sides take ONE bucketed exchange on the join key; every key's rows
+    from both sides land in the same bucket, and each bucket joins locally
+    with ``pyarrow.Table.join`` — a vectorized Arrow hash join that keeps
+    exact types for null-padded unmatched rows (an int64 right column stays
+    int64-with-nulls on a left join; no pandas float64 upcast can corrupt
+    large ids). ``how``: ``"inner"`` or ``"left"`` (left outer).
+
+    Non-key column names must be disjoint across the two sides — rename
+    upstream (``select_columns`` / an Arrow map_batches) rather than rely on
+    engine-invented suffixes. Null join keys never match (SQL semantics).
+
+    Scale notes: skewed keys concentrate in one bucket — salt the hot key
+    upstream if one key dominates; output row fan-out is (left×right)
+    matches per key, as in any join. Both inputs must carry Arrow schemas
+    (parquet reads / pyarrow map_batches do).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"shuffle_join: how must be 'inner' or 'left', got {how!r}")
+    left_keys = [on] if isinstance(on, str) else list(on)
+    right_keys = (left_keys if right_on is None
+                  else [right_on] if isinstance(right_on, str) else list(right_on))
+
+    def _arrow_fields(ds) -> list[pa.Field]:
+        s = ds.schema()
+        fields = []
+        for n, t in zip(s.names, s.types):
+            if not isinstance(t, pa.DataType):
+                raise TypeError(
+                    f"shuffle_join needs an Arrow schema; column {n!r} reports "
+                    f"{t!r} (pandas-block input? add a pyarrow map_batches)"
+                )
+            fields.append(pa.field(n, t))
+        return fields
+
+    left_fields = _arrow_fields(left_ds)
+    right_fields = _arrow_fields(right_ds)
+    left_payload = [f for f in left_fields if f.name not in left_keys]
+    right_payload = [f for f in right_fields if f.name not in right_keys]
+    clash = ({f.name for f in left_payload} & {f.name for f in right_payload})
+    clash |= set(left_keys) & {f.name for f in right_payload}
+    if clash:
+        raise ValueError(
+            f"shuffle_join: column names collide across sides: {sorted(clash)} "
+            "— rename one side upstream"
+        )
+    key_fields = [f for f in left_fields if f.name in left_keys]
+    nb = num_buckets or default_num_buckets()
+
+    def tag_left(b: pa.Table) -> pa.Table:
+        cols = {f.name: b.column(f.name) for f in key_fields + left_payload}
+        for f in right_payload:
+            cols[f.name] = _pad_like(f, b.num_rows)
+        cols[_KIND] = pa.array(np.zeros(b.num_rows, dtype=np.int8))
+        return pa.table(cols)
+
+    def tag_right(b: pa.Table) -> pa.Table:
+        cols = {lk.name: b.column(rk) for lk, rk in zip(key_fields, right_keys)}
+        for f in left_payload:
+            cols[f.name] = _pad_like(f, b.num_rows)
+        for f in right_payload:
+            cols[f.name] = b.column(f.name)
+        cols[_KIND] = pa.array(np.ones(b.num_rows, dtype=np.int8))
+        return pa.table(cols)
+
+    left_names = [f.name for f in key_fields] + [f.name for f in left_payload]
+    right_names = [f.name for f in key_fields] + [f.name for f in right_payload]
+    join_type = "inner" if how == "inner" else "left outer"
+
+    def bucket_join(chunk: pa.Table) -> pa.Table:
+        kind = chunk.column(_KIND)
+        l = chunk.filter(pc.equal(kind, 0)).select(left_names)
+        r = chunk.filter(pc.equal(kind, 1)).select(right_names)
+        out = l.join(r, keys=[f.name for f in key_fields], join_type=join_type)
+        # column order is join-impl-defined; restore the declared contract
+        return out.select(left_names + [f.name for f in right_payload])
+
+    tagged = (
+        left_ds.map_batches(tag_left, batch_format="pyarrow")
+        .union(right_ds.map_batches(tag_right, batch_format="pyarrow"))
+        .map_batches(_add_key_bucket, batch_format="pyarrow",
+                     fn_kwargs={"key_cols": [f.name for f in key_fields],
+                                "num_buckets": nb})
+    )
+    return tagged.groupby("__kb").map_groups(bucket_join, batch_format="pyarrow")
 
 
 def range_join_broadcast(left_ds, ranges: pa.Table, *, ts_col: str,

@@ -877,6 +877,59 @@ def _q_tfidf_topk(sf_dir: str):
     )
 
 
+def _q_keyed_window(sf_dir: str):
+    """Per-user ordered window functions over events (lag/lead/cumsum/
+    row_number/rolling mean). ``iv = floor(value)`` keeps every aggregate
+    integer-exact so the oracle hash is bit-stable (floor is identical in
+    pyarrow and DuckDB; integer sums are association-order-independent)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from xhs_ocr_ray.stages.analytics import keyed_window
+
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "value"]) \
+        .map_batches(
+            lambda b: pa.table({
+                "event_id": b.column("event_id"),
+                "user_id": b.column("user_id"),
+                "iv": pc.cast(pc.floor(b.column("value")), pa.int64()),
+            }),
+            batch_format="pyarrow",
+        )
+    return keyed_window(
+        ev, ["user_id"], ["event_id"],
+        [("lag", "iv", 1, "prev_iv"), ("lead", "iv", 1, "next_iv"),
+         ("cumsum", "iv", "run_iv"), ("row_number", "rn"),
+         ("rolling_mean", "iv", 3, "avg3")],
+    )
+
+
+def _q_rollup_agg(sf_dir: str):
+    """GROUP BY ROLLUP(o_orderpriority, o_orderstatus) — count / integer
+    sum / max at every prefix level plus the grand total."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from xhs_ocr_ray.stages.analytics import rollup_aggregate
+
+    orders = _read(
+        sf_dir, "orders",
+        columns=["o_orderpriority", "o_orderstatus", "o_orderkey",
+                 "o_totalprice"],
+    ).map_batches(
+        lambda b: b.append_column(
+            "price_i", pc.cast(pc.floor(b.column("o_totalprice")), pa.int64())
+        ).drop_columns(["o_totalprice"]),
+        batch_format="pyarrow",
+    )
+    return rollup_aggregate(
+        orders, ["o_orderpriority", "o_orderstatus"],
+        {"n_orders": ("o_orderkey", "count"),
+         "sum_price_i": ("price_i", "sum"),
+         "max_price_i": ("price_i", "max")},
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "window_filter": _q_window_filter,
@@ -918,6 +971,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_topk": _q_grouped_topk,
         "grouped_quantiles": _q_grouped_quantiles,
         "tfidf_topk": _q_tfidf_topk,
+        "keyed_window": _q_keyed_window,
+        "rollup_agg": _q_rollup_agg,
     }
 
 
@@ -1288,6 +1343,32 @@ def oracle_sql() -> dict[str, str]:
             WHERE tf.token = df.token
             ORDER BY tfidf DESC, tf.token, tf.doc_id
             LIMIT 10
+        """,
+        "keyed_window": """
+            WITH e AS (
+              SELECT event_id, user_id,
+                     CAST(floor(value) AS BIGINT) AS iv
+              FROM events
+            )
+            SELECT event_id, user_id, iv,
+                   lag(iv, 1) OVER w AS prev_iv,
+                   lead(iv, 1) OVER w AS next_iv,
+                   CAST(sum(iv) OVER (
+                     w ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_iv,
+                   row_number() OVER w AS rn,
+                   avg(iv) OVER (w ROWS 2 PRECEDING) AS avg3
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+        """,
+        "rollup_agg": """
+            SELECT o_orderpriority, o_orderstatus,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT)
+                     AS sum_price_i,
+                   CAST(max(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT)
+                     AS max_price_i
+            FROM orders
+            GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
         """,
         "lang_id": _lang_id_sql(),
         # -- CJK-branch corpus is routed by doc_id, so the result is a CASE

@@ -930,6 +930,52 @@ def _q_rollup_agg(sf_dir: str):
     )
 
 
+def _q_cube_agg(sf_dir: str):
+    """GROUP BY CUBE(o_orderstatus, o_orderpriority) — all 4 key subsets
+    from ONE scan of the input (each level re-aggregates the finest)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from xhs_ocr_ray.stages.analytics import cube_aggregate
+
+    orders = _read(
+        sf_dir, "orders",
+        columns=["o_orderstatus", "o_orderpriority", "o_totalprice"],
+    ).map_batches(
+        lambda b: b.append_column(
+            "price_i", pc.cast(pc.floor(b.column("o_totalprice")), pa.int64())
+        ).drop_columns(["o_totalprice"]),
+        batch_format="pyarrow",
+    )
+    return cube_aggregate(
+        orders, ["o_orderstatus", "o_orderpriority"],
+        {"n_orders": ("price_i", "count"), "sum_price_i": ("price_i", "sum")},
+    )
+
+
+def _q_pivot_events(sf_dir: str):
+    """Long→wide: per-user event counts, one column per event type
+    (count(*) FILTER (WHERE event_type = v))."""
+    from xhs_ocr_ray.stages.analytics import pivot_aggregate
+
+    return pivot_aggregate(
+        _read(sf_dir, "events", columns=["user_id", "event_type"]),
+        ["user_id"], "event_type",
+        ["click", "error", "purchase", "signup", "view"],
+    )
+
+
+def _q_quantile_filter(sf_dir: str):
+    """Keep documents in the top quartile by n_chars — exact global
+    quantile_disc threshold via a value-histogram reduce, then a
+    vectorized second-pass filter."""
+    from xhs_ocr_ray.stages.analytics import quantile_threshold_filter
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    out, _thr = quantile_threshold_filter(docs, "n_chars", 0.75)
+    return out
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "window_filter": _q_window_filter,
@@ -973,6 +1019,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_topk": _q_tfidf_topk,
         "keyed_window": _q_keyed_window,
         "rollup_agg": _q_rollup_agg,
+        "cube_agg": _q_cube_agg,
+        "pivot_events": _q_pivot_events,
+        "quantile_filter": _q_quantile_filter,
     }
 
 
@@ -1369,6 +1418,34 @@ def oracle_sql() -> dict[str, str]:
                      AS max_price_i
             FROM orders
             GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+        """,
+        "cube_agg": """
+            SELECT o_orderstatus, o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT)
+                     AS sum_price_i
+            FROM orders
+            GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        """,
+        "pivot_events": """
+            SELECT user_id,
+              CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT)
+                AS n_click,
+              CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT)
+                AS n_error,
+              CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+                AS n_purchase,
+              CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT)
+                AS n_signup,
+              CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT)
+                AS n_view
+            FROM events GROUP BY user_id
+        """,
+        "quantile_filter": """
+            SELECT doc_id, n_chars FROM documents
+            WHERE n_chars >= (
+              SELECT quantile_disc(n_chars, 0.75) FROM documents
+            )
         """,
         "lang_id": _lang_id_sql(),
         # -- CJK-branch corpus is routed by doc_id, so the result is a CASE

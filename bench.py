@@ -35,7 +35,8 @@ QUERY_NAMES = [
     "hopping_window", "hash_split", "token_topk", "ngram_jaccard",
     "png_features", "asof_join", "range_join",
     "grouped_topk", "grouped_quantiles", "tfidf_topk", "shuffle_join",
-    "keyed_window", "rollup_agg",
+    "keyed_window", "rollup_agg", "cube_agg", "pivot_events",
+    "quantile_filter",
 ]
 
 

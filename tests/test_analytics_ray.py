@@ -124,3 +124,112 @@ def test_rollup_rejects_unknown_agg(ray_session):
 
     with pytest.raises(ValueError):
         rollup_aggregate(_mk(_events(8)), ["user"], {"m": ("v", "median")})
+
+
+def _abx(n: int = 240) -> pa.Table:
+    rng = np.random.default_rng(3)
+    return pa.table({
+        "a": pa.array([f"a{i % 3}" for i in range(n)]),
+        "b": pa.array([f"b{i % 4}" for i in range(n)]),
+        "x": pa.array(rng.integers(0, 100, n), pa.int64()),
+    })
+
+
+def test_cube_matches_pandas(ray_session):
+    from xhs_ocr_ray.stages.analytics import cube_aggregate
+
+    t = _abx()
+    df = t.to_pandas()
+
+    def agg(keys):
+        if keys:
+            out = (df.groupby(keys, sort=False)["x"].sum()
+                   .reset_index(name="sx"))
+        else:
+            out = pd.DataFrame({"sx": [df.x.sum()]})
+        for c in ("a", "b"):
+            if c not in out:
+                out[c] = pd.Series([None] * len(out), dtype="object")
+        return out[["a", "b", "sx"]]
+
+    want = (
+        pd.concat([agg(["a", "b"]), agg(["a"]), agg(["b"]), agg([])],
+                  ignore_index=True)
+        .sort_values(["a", "b"], na_position="last").reset_index(drop=True)
+    )
+    out = (
+        cube_aggregate(_mk(t, 8), ["a", "b"], {"sx": ("x", "sum")})
+        .to_pandas().sort_values(["a", "b"], na_position="last")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 12 + 3 + 4 + 1
+    pd.testing.assert_frame_equal(out[["a", "b", "sx"]], want,
+                                  check_dtype=False)
+
+
+def test_grouping_sets_dedupes_and_validates(ray_session):
+    import pytest
+
+    from xhs_ocr_ray.stages.analytics import grouping_sets_aggregate
+
+    t = _abx(60)
+    out = grouping_sets_aggregate(
+        _mk(t), ["a", "b"], [["a"], ["a"]], {"sx": ("x", "sum")}
+    ).to_pandas()
+    assert len(out) == 3  # duplicate set emitted once
+    with pytest.raises(ValueError):
+        grouping_sets_aggregate(_mk(t), ["a"], [["zz"]], {"sx": ("x", "sum")})
+
+
+def test_pivot_counts_and_sums(ray_session):
+    from xhs_ocr_ray.stages.analytics import pivot_aggregate
+
+    t = _abx()
+    df = t.to_pandas()
+    vals = ["b0", "b1", "b3"]  # b2 deliberately excluded from the domain
+    want_n = (
+        df[df.b.isin(vals)].groupby(["a", "b"]).size().unstack("b")
+        .reindex(columns=vals, fill_value=0).astype("int64")
+    )
+    for blocks in (1, 16):
+        out = (
+            pivot_aggregate(_mk(t, blocks), ["a"], "b", vals)
+            .to_pandas().sort_values("a").set_index("a")
+        )
+        for v in vals:
+            assert out[f"n_{v}"].tolist() == want_n[v].tolist()
+    want_s = (
+        df[df.b.isin(vals)].groupby(["a", "b"])["x"].sum().unstack("b")
+        .reindex(columns=vals, fill_value=0)
+    )
+    out = (
+        pivot_aggregate(_mk(t, 8), ["a"], "b", vals, value_col="x",
+                        how="sum", out_prefix="sx_")
+        .to_pandas().sort_values("a").set_index("a")
+    )
+    for v in vals:
+        assert out[f"sx_{v}"].tolist() == want_s[v].tolist()
+
+
+def test_quantile_threshold_filter_exact(ray_session):
+    import math
+
+    from xhs_ocr_ray.stages.analytics import quantile_threshold_filter
+
+    rng = np.random.default_rng(9)
+    n = 500
+    t = pa.table({
+        "id": pa.array(np.arange(n), pa.int64()),
+        "score": pa.array(rng.integers(0, 40, n), pa.int64()),
+    })
+    scores = np.sort(t.column("score").to_numpy())
+    for q in (0.25, 0.75, 1.0):
+        want_t = scores[math.ceil(q * n) - 1]  # quantile_disc
+        out, thr = quantile_threshold_filter(_mk(t, 8), "score", q)
+        assert thr == want_t
+        got = out.to_pandas()
+        assert (got["score"] >= want_t).all()
+        assert len(got) == int((scores >= want_t).sum())
+    out, thr = quantile_threshold_filter(_mk(t, 8), "score", 0.5, keep="lt")
+    got = out.to_pandas()
+    assert (got["score"] < thr).all()

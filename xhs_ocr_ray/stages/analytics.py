@@ -1,4 +1,5 @@
-"""Keyed window analytics and hierarchical (rollup) aggregation.
+"""Keyed window analytics and multi-level (rollup / cube / grouping-sets /
+pivot) aggregation, plus an exact distributed quantile-threshold filter.
 
 - :func:`keyed_window` — per-key ordered window functions (``lag`` /
   ``lead`` / ``cumsum`` / ``row_number`` / ``rolling_mean``), the SQL
@@ -7,8 +8,16 @@
   "running total per account").
 - :func:`rollup_aggregate` — ``GROUP BY ROLLUP(a, b, ...)``: one row per
   group at every prefix level, collapsed columns emitted as typed nulls.
+- :func:`grouping_sets_aggregate` / :func:`cube_aggregate` — arbitrary
+  ``GROUP BY GROUPING SETS`` / ``CUBE``; every set re-aggregates the
+  finest level's (already reduced) result.
+- :func:`pivot_aggregate` — long→wide conditional aggregation
+  (``count(*) FILTER (WHERE pivot = v)`` per value), fully combiner-based.
+- :func:`quantile_threshold_filter` — keep rows whose integer score column
+  is ≥ the EXACT global discrete quantile, via a value-histogram reduce
+  (never a global sort, never the data on the driver).
 
-Both follow the repo-wide distributed-groupby idiom (one coarse
+All follow the repo-wide distributed-groupby idiom (one coarse
 ``_add_key_bucket`` shuffle + vectorized pandas per bucket — see
 ``stages/bucketing.py``; never a per-key dispatch, never a driver-side
 collection).
@@ -23,11 +32,17 @@ Scale notes (the custom-operator contract):
   derives each coarser level by re-aggregating the PREVIOUS level's (much
   smaller) result — level N is never recomputed from the raw input, so the
   raw data is scanned exactly once no matter how many rollup levels.
+- ``grouping_sets_aggregate`` scans the raw input once (the finest-level
+  combiner); every requested set shuffles only the finest aggregate set.
+- ``pivot_aggregate`` ships one wide row per (block, key) — the pivot
+  domain must be an explicit, bounded list (wide columns are schema).
+- ``quantile_threshold_filter`` collects only (distinct value, count)
+  pairs — sized by the value DOMAIN, not the row count; the second pass
+  re-reads the input, the normal two-pass shape for a global threshold.
 """
 
 from __future__ import annotations
 
-import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -133,6 +148,83 @@ def _agg_frame(df: pd.DataFrame, keys: list[str],
     return out
 
 
+def _check_specs(op: str, specs: dict[str, tuple[str, str]]) -> None:
+    for name, (col, how) in specs.items():
+        if how not in _ROLLUP_AGGS:
+            raise ValueError(f"{op}: unsupported agg {how!r}")
+
+
+def _partial_combine(ds, group_cols: list[str],
+                     specs: dict[str, tuple[str, str]]):
+    """Per-block partial groupby on the finest key (the combiner pass —
+    the only stage that sees raw rows)."""
+    value_cols = sorted({col for col, how in specs.values()})
+
+    def combiner(batch: pa.Table) -> pa.Table:
+        df = batch.select(
+            [*group_cols, *[c for c in value_cols if c not in group_cols]]
+        ).to_pandas()
+        return arrow_from_pandas(_agg_frame(df, group_cols, specs, reagg=False))
+
+    return ds.map_batches(combiner, batch_format="pyarrow")
+
+
+def _merge_level(level_ds, keys: list[str],
+                 specs: dict[str, tuple[str, str]], nb: int):
+    """Exact aggregate on ``keys`` from already-partial rows: one bucketed
+    exchange + vectorized pandas re-aggregation per bucket."""
+    def bucket_agg(chunk: pd.DataFrame) -> pd.DataFrame:
+        return _agg_frame(chunk.drop(columns="__kb"), keys, specs, reagg=True)
+
+    return (
+        level_ds.map_batches(_add_key_bucket, batch_format="pyarrow",
+                             fn_kwargs={"key_cols": keys, "num_buckets": nb})
+        .groupby("__kb")
+        .map_groups(bucket_agg, batch_format="pandas")
+    )
+
+
+def _grand_total(level_ds, specs: dict[str, tuple[str, str]]):
+    """Grand total from partial rows: per-block reduce to ONE row, then a
+    single-block merge (repartition(1) of an aggregate set, not of data)."""
+    return (
+        level_ds.map_batches(
+            lambda b: arrow_from_pandas(
+                _agg_frame(b.to_pandas().assign(__g=0), ["__g"],
+                           specs, reagg=True)),
+            batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(
+            lambda b: arrow_from_pandas(
+                _agg_frame(b.to_pandas(), ["__g"], specs,
+                           reagg=True).drop(columns="__g")),
+            batch_format="pyarrow")
+    )
+
+
+def _level_normalizer(group_cols: list[str], key_types: dict,
+                      specs: dict[str, tuple[str, str]]):
+    def normalize(b: pa.Table) -> pa.Table:
+        """Every level emits the SAME schema: all group cols (typed nulls
+        where collapsed) + aggregate cols, in one canonical order — union
+        and the streaming executor's schema dedup both depend on it."""
+        cols = {}
+        for c in group_cols:
+            cols[c] = (b.column(c) if c in b.schema.names
+                       else pa.nulls(b.num_rows, key_types[c]))
+        for name in specs:
+            cols[name] = b.column(name)
+        return pa.table(cols)
+
+    return normalize
+
+
+def _key_types(ds, group_cols: list[str]) -> dict:
+    schema = ds.schema()
+    return {n: t for n, t in zip(schema.names, schema.types)
+            if n in group_cols}
+
+
 def rollup_aggregate(ds, group_cols: list[str],
                      specs: dict[str, tuple[str, str]],
                      num_buckets: int | None = None):
@@ -148,76 +240,169 @@ def rollup_aggregate(ds, group_cols: list[str],
     Grand-total level reduces to a handful of per-bucket rows merged in one
     final single-block pass.
     """
-    for name, (col, how) in specs.items():
-        if how not in _ROLLUP_AGGS:
-            raise ValueError(f"rollup_aggregate: unsupported agg {how!r}")
+    _check_specs("rollup_aggregate", specs)
     nb = num_buckets or default_num_buckets()
-    value_cols = sorted({col for col, how in specs.values()})
-
-    def combiner(batch: pa.Table) -> pa.Table:
-        df = batch.select(
-            [*group_cols, *[c for c in value_cols if c not in group_cols]]
-        ).to_pandas()
-        return arrow_from_pandas(_agg_frame(df, group_cols, specs, reagg=False))
-
-    def bucket_agg(keys: list[str]):
-        def _f(chunk: pd.DataFrame) -> pd.DataFrame:
-            return _agg_frame(chunk.drop(columns="__kb"), keys, specs,
-                              reagg=True)
-        return _f
-
-    def merge_level(level_ds, keys: list[str]):
-        return (
-            level_ds.map_batches(_add_key_bucket, batch_format="pyarrow",
-                                 fn_kwargs={"key_cols": keys,
-                                            "num_buckets": nb})
-            .groupby("__kb")
-            .map_groups(bucket_agg(keys), batch_format="pandas")
-        )
-
-    schema = ds.schema()
-    key_types = {n: t for n, t in zip(schema.names, schema.types)
-                 if n in group_cols}
-    out_names = [*group_cols, *specs.keys()]
-
-    def normalize(b: pa.Table) -> pa.Table:
-        """Every level emits the SAME schema: all group cols (typed nulls
-        where collapsed) + aggregate cols, in one canonical order — union
-        and the streaming executor's schema dedup both depend on it."""
-        cols = {}
-        for c in group_cols:
-            cols[c] = (b.column(c) if c in b.schema.names
-                       else pa.nulls(b.num_rows, key_types[c]))
-        for name in specs:
-            cols[name] = b.column(name)
-        return pa.table(cols)
-
-    partial = ds.map_batches(combiner, batch_format="pyarrow")
-    finest = merge_level(partial, group_cols)
+    normalize = _level_normalizer(group_cols, _key_types(ds, group_cols),
+                                  specs)
+    finest = _merge_level(_partial_combine(ds, group_cols, specs),
+                          group_cols, specs, nb)
     levels = [finest.map_batches(normalize, batch_format="pyarrow")]
     prev = finest
     for depth in range(len(group_cols) - 1, 0, -1):
-        keys = group_cols[:depth]
-        prev = merge_level(prev, keys)
+        prev = _merge_level(prev, group_cols[:depth], specs, nb)
         levels.append(prev.map_batches(normalize, batch_format="pyarrow"))
-    # grand total: per-bucket partials are already tiny — one single-block
-    # reduce (repartition(1) of an aggregate set, not of the data)
-    total = (
-        prev.map_batches(
-            lambda b: arrow_from_pandas(
-                _agg_frame(b.to_pandas().assign(__g=0), ["__g"],
-                           specs, reagg=True)),
-            batch_format="pyarrow")
-        .repartition(1)
-        .map_batches(
-            lambda b: arrow_from_pandas(
-                _agg_frame(b.to_pandas(), ["__g"], specs,
-                           reagg=True).drop(columns="__g")),
-            batch_format="pyarrow")
-        .map_batches(normalize, batch_format="pyarrow")
-    )
-    levels.append(total)
+    levels.append(
+        _grand_total(prev, specs).map_batches(normalize,
+                                              batch_format="pyarrow"))
     out = levels[0]
     for lvl in levels[1:]:
         out = out.union(lvl)
     return out
+
+
+def grouping_sets_aggregate(ds, group_cols: list[str],
+                            sets: list[list[str]],
+                            specs: dict[str, tuple[str, str]],
+                            num_buckets: int | None = None):
+    """``GROUP BY GROUPING SETS(sets)`` — each set must be a subset of
+    ``group_cols``; ``[]`` means the grand total. The raw input is scanned
+    ONCE (finest-level combiner); every requested set re-aggregates the
+    finest aggregate set (already reduced to one row per distinct key).
+    Duplicate sets are emitted once, as in SQL ``DISTINCT`` grouping sets.
+    """
+    _check_specs("grouping_sets_aggregate", specs)
+    seen, uniq = set(), []
+    for s in sets:
+        bad = [c for c in s if c not in group_cols]
+        if bad:
+            raise ValueError(
+                f"grouping_sets_aggregate: set {s!r} not a subset of "
+                f"group_cols {group_cols!r}")
+        key = tuple(sorted(s))
+        if key not in seen:
+            seen.add(key)
+            uniq.append(list(s))
+    nb = num_buckets or default_num_buckets()
+    normalize = _level_normalizer(group_cols, _key_types(ds, group_cols),
+                                  specs)
+    finest = _merge_level(_partial_combine(ds, group_cols, specs),
+                          group_cols, specs, nb)
+    levels = []
+    for s in uniq:
+        if sorted(s) == sorted(group_cols):
+            lvl = finest
+        elif s:
+            lvl = _merge_level(finest, s, specs, nb)
+        else:
+            lvl = _grand_total(finest, specs)
+        levels.append(lvl.map_batches(normalize, batch_format="pyarrow"))
+    out = levels[0]
+    for lvl in levels[1:]:
+        out = out.union(lvl)
+    return out
+
+
+def cube_aggregate(ds, group_cols: list[str],
+                   specs: dict[str, tuple[str, str]],
+                   num_buckets: int | None = None):
+    """``GROUP BY CUBE(group_cols)`` — all 2^k key subsets."""
+    from itertools import combinations
+
+    sets = [list(c) for r in range(len(group_cols), -1, -1)
+            for c in combinations(group_cols, r)]
+    return grouping_sets_aggregate(ds, group_cols, sets, specs,
+                                   num_buckets=num_buckets)
+
+
+def pivot_aggregate(ds, key_cols: list[str], pivot_col: str,
+                    values: list, *, value_col: str | None = None,
+                    how: str = "count", out_prefix: str = "n_",
+                    num_buckets: int | None = None):
+    """Long→wide conditional aggregation: one output column per entry of
+    ``values`` — SQL ``count(*) FILTER (WHERE pivot_col = v)`` (``how=
+    'count'``) or ``sum(value_col) FILTER (...)`` (``how='sum'``, missing
+    groups sum to 0) per key.
+
+    The pivot domain must be an explicit bounded list — wide columns are
+    schema, and schema must be driver-known (discover it upstream with a
+    tiny distinct pass if needed). Plan: per-block groupby+unstack combiner
+    (ships ONE wide row per (block, key)) → one bucketed exchange → sum.
+    """
+    if how not in ("count", "sum"):
+        raise ValueError(f"pivot_aggregate: how must be count|sum, got {how!r}")
+    if how == "sum" and value_col is None:
+        raise ValueError("pivot_aggregate: how='sum' needs value_col")
+    nb = num_buckets or default_num_buckets()
+    out_cols = [f"{out_prefix}{v}" for v in values]
+    wide_specs = {c: (c, "sum") for c in out_cols}
+
+    def combiner(batch: pa.Table) -> pa.Table:
+        cols = [*key_cols, pivot_col] + (
+            [value_col] if value_col and value_col not in key_cols else [])
+        df = batch.select(cols).to_pandas()
+        df = df[df[pivot_col].isin(values)]
+        if how == "count":
+            agg = (df.groupby([*key_cols, pivot_col], sort=False, dropna=False)
+                   .size())
+        else:
+            agg = (df.groupby([*key_cols, pivot_col], sort=False, dropna=False)
+                   [value_col].sum())
+        wide = agg.unstack(pivot_col, fill_value=0) \
+            .reindex(columns=values, fill_value=0)
+        wide.columns = [f"{out_prefix}{v}" for v in wide.columns]
+        out = wide.reset_index()
+        for c in out_cols:
+            if how == "count":
+                out[c] = out[c].astype("int64")
+        return arrow_from_pandas(out[[*key_cols, *out_cols]])
+
+    return _merge_level(ds.map_batches(combiner, batch_format="pyarrow"),
+                        key_cols, wide_specs, nb)
+
+
+def quantile_threshold_filter(ds, col: str, q: float, *,
+                              keep: str = "ge",
+                              num_buckets: int | None = None):
+    """Keep rows whose ``col`` (an integer-valued score) is ≥ (``keep='ge'``)
+    or < (``keep='lt'``) the EXACT global discrete quantile
+    (``quantile_disc`` semantics: the element at 1-based rank ceil(q·n)).
+
+    The training-data "keep the top-X% by quality score" filter. Pass 1
+    reduces to a (distinct value → count) histogram — combiner per block,
+    one tiny exchange, then the driver folds the cumulative counts (bounded
+    by the value DOMAIN, e.g. a few thousand distinct scores, never the row
+    count). Pass 2 re-reads the input and applies a vectorized compare —
+    the standard two-pass shape for any global-threshold filter.
+
+    Returns ``(filtered_ds, threshold)``.
+    """
+    import math
+
+    import pyarrow.compute as pc
+
+    if keep not in ("ge", "lt"):
+        raise ValueError(f"quantile_threshold_filter: keep must be ge|lt")
+    if not (0.0 < q <= 1.0):
+        raise ValueError("quantile_threshold_filter: q must be in (0, 1]")
+    nb = num_buckets or default_num_buckets()
+
+    def hist(batch: pa.Table) -> pa.Table:
+        vc = batch.column(col).to_pandas().value_counts()
+        return arrow_from_pandas(
+            pd.DataFrame({col: vc.index, "__n": vc.to_numpy()}))
+
+    counts = _merge_level(ds.map_batches(hist, batch_format="pyarrow"),
+                          [col], {"__n": ("__n", "sum")}, nb).to_pandas()
+    counts = counts.sort_values(col).reset_index(drop=True)
+    total = int(counts["__n"].sum())
+    if total == 0:
+        raise ValueError(f"quantile_threshold_filter: no rows in {col!r}")
+    rank = max(1, math.ceil(q * total))
+    cum = counts["__n"].cumsum()
+    threshold = counts[col][int((cum >= rank).idxmax())]
+
+    op = pc.greater_equal if keep == "ge" else pc.less
+    out = ds.map_batches(
+        lambda b: b.filter(op(b.column(col), threshold)),
+        batch_format="pyarrow")
+    return out, threshold

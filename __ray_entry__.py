@@ -976,6 +976,53 @@ def _q_quantile_filter(sf_dir: str):
     return out
 
 
+def _q_repetition_signals(sf_dir: str):
+    """Gopher-style repetition quality signals per document (dup-word /
+    top-word / top-bigram fractions) — pure per-doc map, no shuffle."""
+    from xhs_ocr_ray.stages.text_analysis import repetition_signals_batch
+
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .map_batches(repetition_signals_batch, batch_format="pyarrow")
+
+
+def _q_incremental_dedup(sf_dir: str):
+    """Cross-run dedup over the derived dup corpus (groups of 3 docs share
+    one text). Run 1 indexes each EVEN group's first member; run 2 feeds
+    everything else — even groups' remaining members must be dropped
+    against the persisted index (cross-run), odd groups dedup within the
+    batch (first-wins by doc_id). Survivors = doc_id ≡ 3 (mod 6)."""
+    import hashlib
+    import shutil
+
+    import numpy as np
+    import pyarrow as pa
+
+    from xhs_ocr_ray.stages.dedup import incremental_exact_dedup
+    from xhs_ocr_ray.stages.text_analysis import fingerprint_batch
+
+    idx = "/tmp/xhs_incr_idx/" + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    shutil.rmtree(idx, ignore_errors=True)  # each call replays both runs
+
+    corpus = (
+        _derived_dup_corpus(sf_dir, "documents", "doc_id", "text", salt=False)
+        .map_batches(fingerprint_batch, batch_format="pyarrow")
+        .select_columns(["doc_id", "fp_md5"])
+    )
+
+    def half(old: bool):
+        def f(b: pa.Table) -> pa.Table:
+            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+            mask = ((ids // 3) % 2 == 0) & (ids % 3 == 0)
+            return b.filter(pa.array(mask if old else ~mask))
+        return corpus.map_batches(f, batch_format="pyarrow")
+
+    incremental_exact_dedup(half(True), idx, fp_col="fp_md5",
+                            id_col="doc_id")
+    survivors = incremental_exact_dedup(half(False), idx, fp_col="fp_md5",
+                                        id_col="doc_id")
+    return survivors.select_columns(["doc_id"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "window_filter": _q_window_filter,
@@ -1022,6 +1069,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cube_agg": _q_cube_agg,
         "pivot_events": _q_pivot_events,
         "quantile_filter": _q_quantile_filter,
+        "repetition_signals": _q_repetition_signals,
+        "incremental_dedup": _q_incremental_dedup,
     }
 
 
@@ -1446,6 +1495,60 @@ def oracle_sql() -> dict[str, str]:
             WHERE n_chars >= (
               SELECT quantile_disc(n_chars, 0.75) FROM documents
             )
+        """,
+        "repetition_signals": """
+            WITH tok AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS lst
+              FROM documents
+            ), w AS (
+              SELECT doc_id, unnest(lst) AS w FROM tok
+            ), wc AS (
+              SELECT doc_id, w, count(*) AS c FROM w GROUP BY doc_id, w
+            ), stats AS (
+              SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+                     count(*) AS d, max(c) AS topw
+              FROM wc GROUP BY doc_id
+            ), bgr AS (
+              SELECT doc_id, lst[i] AS a, lst[i+1] AS b
+              FROM tok, UNNEST(range(1, len(lst))) AS u(i)
+            ), bc AS (
+              SELECT doc_id, a, b, count(*) AS c
+              FROM bgr GROUP BY doc_id, a, b
+            ), bstats AS (
+              SELECT doc_id, max(c) AS topb FROM bc GROUP BY doc_id
+            )
+            SELECT t.doc_id,
+                   COALESCE(s.n, 0) AS n_words,
+                   CASE WHEN COALESCE(s.n, 0) = 0 THEN 0.0
+                        ELSE CAST(s.n - s.d AS DOUBLE) / s.n
+                   END AS dup_word_frac,
+                   CASE WHEN COALESCE(s.n, 0) = 0 THEN 0.0
+                        ELSE CAST(s.topw AS DOUBLE) / s.n
+                   END AS top_word_frac,
+                   CASE WHEN COALESCE(s.n, 0) < 2 THEN 0.0
+                        ELSE CAST(b.topb AS DOUBLE) / (s.n - 1)
+                   END AS top_bigram_frac
+            FROM tok t
+            LEFT JOIN stats s USING (doc_id)
+            LEFT JOIN bstats b USING (doc_id)
+        """,
+        "incremental_dedup": """
+            WITH corpus AS (
+              SELECT d.doc_id, md5(b.text) AS fp
+              FROM documents d
+              JOIN documents b ON b.doc_id = d.doc_id - (d.doc_id % 3)
+            ), old AS (
+              SELECT fp FROM corpus
+              WHERE (doc_id // 3) % 2 = 0 AND doc_id % 3 = 0
+            ), new AS (
+              SELECT doc_id, fp FROM corpus
+              WHERE NOT ((doc_id // 3) % 2 = 0 AND doc_id % 3 = 0)
+            )
+            SELECT n.doc_id FROM new n
+            WHERE n.fp NOT IN (SELECT fp FROM old)
+              AND n.doc_id = (
+                SELECT min(doc_id) FROM new n2 WHERE n2.fp = n.fp)
         """,
         "lang_id": _lang_id_sql(),
         # -- CJK-branch corpus is routed by doc_id, so the result is a CASE

@@ -36,7 +36,7 @@ QUERY_NAMES = [
     "png_features", "asof_join", "range_join",
     "grouped_topk", "grouped_quantiles", "tfidf_topk", "shuffle_join",
     "keyed_window", "rollup_agg", "cube_agg", "pivot_events",
-    "quantile_filter",
+    "quantile_filter", "repetition_signals", "incremental_dedup",
 ]
 
 

@@ -199,3 +199,48 @@ def test_embedding_dedup_multi_table_recall(ray_session):
     merged_three = {k for k, v in three.items() if v != k}
     assert merged_one <= merged_three  # OR never loses a pair
     assert len(merged_three) > len(merged_one)  # and recovers missed ones
+
+
+def test_incremental_exact_dedup_three_runs(ray_session, tmp_path):
+    """Cross-run dedup: each run drops fps indexed by ANY prior run, dedups
+    within itself first-wins, and appends only its survivors' fps."""
+    import os
+
+    import pyarrow as pa
+    import ray.data
+
+    from xhs_ocr_ray.stages.dedup import incremental_exact_dedup
+
+    idx = str(tmp_path / "fpidx")
+
+    def batch(rows):
+        ids, fps = zip(*rows)
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "fp": pa.array(fps, pa.string()),
+        })).repartition(2)
+
+    # run 1: within-dup (id 1 vs 3 on fp 'a') -> survivors {1:a, 2:b}
+    got1 = incremental_exact_dedup(
+        batch([(1, "a"), (3, "a"), (2, "b")]), idx,
+        fp_col="fp", id_col="doc_id",
+    ).to_pandas().sort_values("doc_id")
+    assert got1.doc_id.tolist() == [1, 2]
+
+    # run 2: 'a' already indexed; 'c' new with a within-dup
+    got2 = incremental_exact_dedup(
+        batch([(10, "a"), (11, "c"), (12, "c")]), idx,
+        fp_col="fp", id_col="doc_id",
+    ).to_pandas().sort_values("doc_id")
+    assert got2.doc_id.tolist() == [11]
+
+    # run 3: everything seen across BOTH prior runs is dropped
+    got3 = incremental_exact_dedup(
+        batch([(20, "a"), (21, "b"), (22, "c"), (23, "d")]), idx,
+        fp_col="fp", id_col="doc_id",
+    ).to_pandas().sort_values("doc_id")
+    assert got3.doc_id.tolist() == [23]
+
+    # index layout: one run_<k> dir per call, never rewritten
+    runs = sorted(d for d in os.listdir(idx) if d.startswith("run_"))
+    assert runs == ["run_0", "run_1", "run_2"]

@@ -124,3 +124,24 @@ def test_simhash_hamming():
     h3 = simhash64("totally unrelated words appear in this sentence".split())
     assert hamming64(h1, h1) == 0
     assert hamming64(h1, h2) < hamming64(h1, h3)
+
+
+def test_repetition_signals():
+    import pyarrow as pa
+
+    from xhs_ocr_ray.stages.text_analysis import repetition_signals_batch
+
+    b = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": ["a b a b a", "x", "", "p q p q"],
+    })
+    out = repetition_signals_batch(b).to_pandas().set_index("doc_id")
+    assert out.n_words.tolist() == [5, 1, 0, 4]
+    assert out.dup_word_frac.tolist() == [0.6, 0.0, 0.0, 0.5]
+    assert out.top_word_frac.tolist() == [0.6, 1.0, 0.0, 0.5]
+    assert out.top_bigram_frac.tolist() == [0.5, 0.0, 0.0, 2 / 3]
+    # empty batch keeps the typed schema
+    empty = repetition_signals_batch(b.slice(0, 0))
+    assert empty.num_rows == 0
+    assert empty.schema.names == ["doc_id", "n_words", "dup_word_frac",
+                                  "top_word_frac", "top_bigram_frac"]

@@ -680,3 +680,102 @@ def embedding_dedup(ds, vec_col: str, id_col: str, *, threshold: float = 0.95,
     )
     labels = connected_components(pair_ds)
     return assign_clusters(unit_ds, id_col, labels)
+
+
+# --------------------------------------------------------------------------
+# Cross-run incremental dedup against a persisted fingerprint index
+# --------------------------------------------------------------------------
+
+def incremental_exact_dedup(new_ds, index_dir: str, *, fp_col: str,
+                            id_col: str, num_buckets: int | None = None):
+    """Dedup a NEW batch of rows against a persisted fingerprint index —
+    the cross-run shape of ``exact_dedup``: yesterday's crawl is already
+    deduped and its fingerprints live as parquet under ``index_dir``; today's
+    batch must drop (a) rows whose ``fp_col`` is already indexed and
+    (b) all-but-the-first duplicate within itself (first = smallest
+    ``id_col`` per fingerprint).
+
+    Plan: ONE bucketed exchange on ``fp_col`` — the index side ships only
+    its narrow (fp) column padded with typed sentinels to the new-side
+    schema (``stages/joins._pad_like``; sentinels are never read), the new
+    side ships full rows once. Per bucket: vectorized first-wins
+    ``drop_duplicates`` + ``isin`` anti-filter — no per-key dispatch, no
+    driver-side set.
+
+    Surviving rows' fingerprints are appended to the index as a NEW
+    ``run_<k>/`` parquet subdir (atomic tmp→rename; completed runs are
+    never rewritten), so a re-run after a crash either sees the completed
+    run dir or re-creates it — the same idempotent-append contract as the
+    pipeline checkpoints. Returns the surviving rows as a MATERIALIZED
+    dataset (bounded by the new batch, not the corpus: the index append
+    must happen exactly once, so the pipeline is forced here).
+
+    On the very first run (``index_dir`` absent/empty) this degrades to
+    plain within-batch ``exact_dedup`` + index bootstrap.
+    """
+    import glob as _glob
+    import os
+    import shutil
+    import uuid
+
+    import pyarrow as pa
+
+    from xhs_ocr_ray.functions.arrow import read_parquet_clean
+    from xhs_ocr_ray.stages.joins import _pad_like
+
+    nb = num_buckets or default_num_buckets()
+    fields = []
+    sch = new_ds.schema()
+    for n, t in zip(sch.names, sch.types):
+        fields.append(pa.field(n, t))
+    side_col = "__side"
+
+    def tag_new(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            side_col, pa.array(np.ones(batch.num_rows, dtype=np.int8)))
+
+    def widen_old(batch: pa.Table) -> pa.Table:
+        cols = {}
+        for f in fields:
+            cols[f.name] = (batch.column(fp_col) if f.name == fp_col
+                            else _pad_like(f, batch.num_rows))
+        t = pa.table(cols)
+        return t.append_column(
+            side_col, pa.array(np.zeros(batch.num_rows, dtype=np.int8)))
+
+    index_files = sorted(_glob.glob(os.path.join(index_dir, "run_*", "*.parquet")))
+    tagged_new = new_ds.map_batches(tag_new, batch_format="pyarrow")
+    if index_files:
+        old = read_parquet_clean(index_files, columns=[fp_col]) \
+            .map_batches(widen_old, batch_format="pyarrow")
+        both = tagged_new.union(old)
+    else:
+        both = tagged_new
+
+    def bucket_anti(chunk: pd.DataFrame) -> pd.DataFrame:
+        new_rows = chunk[chunk[side_col] == 1]
+        seen = chunk.loc[chunk[side_col] == 0, fp_col]
+        keep = (new_rows.sort_values([id_col], kind="mergesort")
+                .drop_duplicates(subset=[fp_col], keep="first"))
+        if len(seen):
+            keep = keep[~keep[fp_col].isin(set(seen))]
+        return keep.drop(columns=["__kb", side_col])
+
+    survivors = (
+        both.map_batches(_add_key_bucket, batch_format="pyarrow",
+                         fn_kwargs={"key_cols": [fp_col], "num_buckets": nb})
+        .groupby("__kb")
+        .map_groups(bucket_anti, batch_format="pandas")
+    ).materialize()
+
+    runs = [int(os.path.basename(d).split("_")[1])
+            for d in _glob.glob(os.path.join(index_dir, "run_*"))]
+    next_run = os.path.join(index_dir, f"run_{max(runs, default=-1) + 1}")
+    tmp = os.path.join(index_dir, f"_tmp_{uuid.uuid4().hex}")
+    os.makedirs(index_dir, exist_ok=True)
+    try:
+        survivors.select_columns([fp_col]).write_parquet(tmp)
+        os.replace(tmp, next_run)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return survivors

@@ -49,6 +49,70 @@ def quality_score_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return out
 
 
+def repetition_signals_batch(batch: pa.Table, text_col: str = "text",
+                             id_col: str = "doc_id") -> pa.Table:
+    """Gopher-style repetition quality signals per document (Rae et al.
+    2021, "Scaling Language Models", §A1.1 repetition filters):
+
+    - ``n_words``          — token count (``split(' ')``, empties dropped —
+      the repo-wide DuckDB ``string_split`` convention)
+    - ``dup_word_frac``    — fraction of tokens that are repeats of an
+      already-seen token: ``(n - n_distinct) / n``
+    - ``top_word_frac``    — most frequent token's share of all tokens
+    - ``top_bigram_frac``  — most frequent adjacent pair's share of all
+      ``n - 1`` pairs
+
+    Pure per-document map (no shuffle). Token stats are computed by ONE
+    exploded pandas groupby over the whole batch (not a per-doc Python
+    dict), bigrams by a shifted-array compare — vectorized end to end
+    except the unavoidable per-row ``str.split``. All fractions are single
+    IEEE divisions of exact small ints (bit-stable vs any SQL engine).
+    """
+    import numpy as np
+    import pandas as pd
+
+    texts = batch.column(text_col).to_pylist()
+    toks = [[w for w in (t or "").split(" ") if w] for t in texts]
+    n = np.fromiter((len(ts) for ts in toks), dtype=np.int64,
+                    count=len(toks))
+    doc_idx = np.repeat(np.arange(len(toks), dtype=np.int64), n)
+    flat = pd.array([w for ts in toks for w in ts], dtype=object)
+
+    n_rows = len(texts)
+    distinct = np.zeros(n_rows, dtype=np.int64)
+    top_w = np.zeros(n_rows, dtype=np.int64)
+    top_b = np.zeros(n_rows, dtype=np.int64)
+    if len(flat):
+        wc = (pd.DataFrame({"d": doc_idx, "w": flat})
+              .groupby(["d", "w"], sort=False).size())
+        per_doc = wc.groupby(level=0, sort=False)
+        distinct[per_doc.size().index] = per_doc.size().to_numpy()
+        top_w[per_doc.max().index] = per_doc.max().to_numpy()
+        same = doc_idx[:-1] == doc_idx[1:]
+        if same.any():
+            bg = pd.DataFrame({
+                "d": doc_idx[:-1][same],
+                "a": flat[:-1][same],
+                "b": flat[1:][same],
+            })
+            bc = bg.groupby(["d", "a", "b"], sort=False).size() \
+                .groupby(level=0, sort=False).max()
+            top_b[bc.index] = bc.to_numpy()
+
+    safe_n = np.maximum(n, 1)
+    out = batch.select([id_col]) if id_col in batch.schema.names else batch
+    for name, arr in (
+        ("n_words", pa.array(n, pa.int64())),
+        ("dup_word_frac", pa.array((n - distinct) / safe_n, pa.float64())),
+        ("top_word_frac", pa.array(top_w / safe_n, pa.float64())),
+        ("top_bigram_frac",
+         pa.array(np.where(n >= 2, top_b / np.maximum(n - 1, 1), 0.0),
+                  pa.float64())),
+    ):
+        out = out.append_column(name, arr)
+    return out
+
+
 def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Append ``fp_md5`` (oracle-exact vs DuckDB md5()) and ``fp_rolling``
     (winnowing-style rolling-hash fingerprint)."""

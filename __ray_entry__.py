@@ -1023,6 +1023,48 @@ def _q_incremental_dedup(sf_dir: str):
     return survivors.select_columns(["doc_id"])
 
 
+def _q_outer_join(sf_dir: str):
+    """Full outer shuffle join of two aggregate sets: per-customer URGENT
+    order counts vs per-user click counts — unmatched rows from EITHER
+    side survive with typed-null payloads and the coalesced key."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    from xhs_ocr_ray.stages.joins import shuffle_join
+
+    left = (
+        _read(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"])
+        .map_batches(
+            lambda b: b.filter(
+                pc.equal(b.column("o_orderpriority"), _URGENT))
+            .drop_columns(["o_orderpriority"]),
+            batch_format="pyarrow")
+        .groupby("o_custkey").aggregate(Count(alias_name="n_urgent"))
+    )
+    right = (
+        _read(sf_dir, "events", columns=["user_id", "event_type"])
+        .map_batches(
+            lambda b: b.filter(pc.equal(b.column("event_type"), "click"))
+            .drop_columns(["event_type"]),
+            batch_format="pyarrow")
+        .groupby("user_id").aggregate(Count(alias_name="n_clicks"))
+    )
+    return shuffle_join(left, right, on="o_custkey", right_on="user_id",
+                        how="outer")
+
+
+def _q_stratified_sample(sf_dir: str):
+    """Deterministic per-language downsampling by content hash: 50% of en,
+    25% of zh, ~6% of everything else (rates are exact /65536 rationals)."""
+    from xhs_ocr_ray.stages.sampling import stratified_hash_sample
+
+    return stratified_hash_sample(
+        _read(sf_dir, "documents", columns=["doc_id", "lang", "text"]),
+        strata_col="lang", content_col="text",
+        thresholds={"en": "8000", "zh": "4000"}, default="1000",
+    ).select_columns(["doc_id", "lang"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "window_filter": _q_window_filter,
@@ -1071,6 +1113,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantile_filter": _q_quantile_filter,
         "repetition_signals": _q_repetition_signals,
         "incremental_dedup": _q_incremental_dedup,
+        "outer_join": _q_outer_join,
+        "stratified_sample": _q_stratified_sample,
     }
 
 
@@ -1549,6 +1593,26 @@ def oracle_sql() -> dict[str, str]:
             WHERE n.fp NOT IN (SELECT fp FROM old)
               AND n.doc_id = (
                 SELECT min(doc_id) FROM new n2 WHERE n2.fp = n.fp)
+        """,
+        "outer_join": f"""
+            WITH l AS (
+              SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_urgent
+              FROM orders WHERE o_orderpriority = '{_URGENT}'
+              GROUP BY o_custkey
+            ), r AS (
+              SELECT user_id, CAST(count(*) AS BIGINT) AS n_clicks
+              FROM events WHERE event_type = 'click'
+              GROUP BY user_id
+            )
+            SELECT COALESCE(l.o_custkey, r.user_id) AS o_custkey,
+                   l.n_urgent, r.n_clicks
+            FROM l FULL JOIN r ON l.o_custkey = r.user_id
+        """,
+        "stratified_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE substr(md5(text), 1, 4) <
+              CASE lang WHEN 'en' THEN '8000' WHEN 'zh' THEN '4000'
+                        ELSE '1000' END
         """,
         "lang_id": _lang_id_sql(),
         # -- CJK-branch corpus is routed by doc_id, so the result is a CASE

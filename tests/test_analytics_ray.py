@@ -233,3 +233,35 @@ def test_quantile_threshold_filter_exact(ray_session):
     out, thr = quantile_threshold_filter(_mk(t, 8), "score", 0.5, keep="lt")
     got = out.to_pandas()
     assert (got["score"] < thr).all()
+
+
+def test_stratified_hash_sample(ray_session):
+    import pytest
+
+    from xhs_ocr_ray.functions.hashing import md5_hex
+    from xhs_ocr_ray.stages.sampling import stratified_hash_sample
+
+    n = 400
+    t = pa.table({
+        "id": pa.array(np.arange(n), pa.int64()),
+        "lang": pa.array([["en", "zh", "fr", "de"][i % 4] for i in range(n)]),
+        "text": pa.array([f"doc number {i} payload" for i in range(n)]),
+    })
+    thr = {"en": "8000", "zh": "4000"}
+    out = stratified_hash_sample(
+        _mk(t, 8), strata_col="lang", content_col="text",
+        thresholds=thr, default="0000",
+    ).to_pandas()
+    df = t.to_pandas()
+    want = df[[md5_hex(x)[:4] < thr.get(s, "0000")
+               for s, x in zip(df.lang, df.text)]]
+    assert sorted(out.id) == sorted(want.id)
+    assert set(out.lang) <= {"en", "zh"}  # default '0000' drops fr/de
+    # determinism: same rows on a different block split
+    out2 = stratified_hash_sample(
+        _mk(t, 1), strata_col="lang", content_col="text",
+        thresholds=thr, default="0000").to_pandas()
+    assert sorted(out2.id) == sorted(out.id)
+    with pytest.raises(ValueError):
+        stratified_hash_sample(_mk(t), strata_col="lang",
+                               content_col="text", thresholds={"en": "80"})

@@ -224,3 +224,31 @@ def test_range_join_overlap_fanout(ray_session):
     ).to_pandas()
     pairs = sorted(zip(out["event_id"], out["range_id"]))
     assert pairs == [(1, 10), (2, 10), (2, 11)]
+
+
+def test_shuffle_join_right_and_full_outer(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from xhs_ocr_ray.stages.joins import shuffle_join
+
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3], pa.int64()),
+        "lv": pa.array([10, 20, 30], pa.int64()),
+    })).repartition(2)
+    right = ray.data.from_arrow(pa.table({
+        "rk": pa.array([2, 3, 4], pa.int64()),
+        "rv": pa.array([200, 300, 400], pa.int64()),
+    })).repartition(2)
+
+    full = (shuffle_join(left, right, on="k", right_on="rk", how="outer")
+            .to_pandas().sort_values("k").reset_index(drop=True))
+    assert full["k"].tolist() == [1, 2, 3, 4]  # coalesced key, both sides
+    assert full["lv"].tolist()[:3] == [10, 20, 30] and pd.isna(full["lv"][3])
+    assert pd.isna(full["rv"][0]) and full["rv"].tolist()[1:] == [200, 300, 400]
+
+    rgt = (shuffle_join(left, right, on="k", right_on="rk", how="right")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    assert rgt["k"].tolist() == [2, 3, 4]
+    assert pd.isna(rgt["lv"][2]) and rgt["rv"].tolist() == [200, 300, 400]

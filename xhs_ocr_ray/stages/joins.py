@@ -153,7 +153,9 @@ def shuffle_join(left_ds, right_ds, *, on: str | list[str],
     with ``pyarrow.Table.join`` — a vectorized Arrow hash join that keeps
     exact types for null-padded unmatched rows (an int64 right column stays
     int64-with-nulls on a left join; no pandas float64 upcast can corrupt
-    large ids). ``how``: ``"inner"`` or ``"left"`` (left outer).
+    large ids). ``how``: ``"inner"``, ``"left"``, ``"right"`` or ``"outer"``
+    (full outer; unmatched rows from either side keep typed-null payloads
+    and the coalesced key).
 
     Non-key column names must be disjoint across the two sides — rename
     upstream (``select_columns`` / an Arrow map_batches) rather than rely on
@@ -164,8 +166,11 @@ def shuffle_join(left_ds, right_ds, *, on: str | list[str],
     matches per key, as in any join. Both inputs must carry Arrow schemas
     (parquet reads / pyarrow map_batches do).
     """
-    if how not in ("inner", "left"):
-        raise ValueError(f"shuffle_join: how must be 'inner' or 'left', got {how!r}")
+    join_types = {"inner": "inner", "left": "left outer",
+                  "right": "right outer", "outer": "full outer"}
+    if how not in join_types:
+        raise ValueError(
+            f"shuffle_join: how must be one of {sorted(join_types)}, got {how!r}")
     left_keys = [on] if isinstance(on, str) else list(on)
     right_keys = (left_keys if right_on is None
                   else [right_on] if isinstance(right_on, str) else list(right_on))
@@ -214,7 +219,7 @@ def shuffle_join(left_ds, right_ds, *, on: str | list[str],
 
     left_names = [f.name for f in key_fields] + [f.name for f in left_payload]
     right_names = [f.name for f in key_fields] + [f.name for f in right_payload]
-    join_type = "inner" if how == "inner" else "left outer"
+    join_type = join_types[how]
 
     def bucket_join(chunk: pa.Table) -> pa.Table:
         kind = chunk.column(_KIND)

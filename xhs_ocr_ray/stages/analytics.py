@@ -43,6 +43,7 @@ Scale notes (the custom-operator contract):
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -184,45 +185,86 @@ def _merge_level(level_ds, keys: list[str],
     )
 
 
-def _grand_total(level_ds, specs: dict[str, tuple[str, str]]):
-    """Grand total from partial rows: per-block reduce to ONE row, then a
-    single-block merge (repartition(1) of an aggregate set, not of data)."""
-    return (
-        level_ds.map_batches(
-            lambda b: arrow_from_pandas(
-                _agg_frame(b.to_pandas().assign(__g=0), ["__g"],
-                           specs, reagg=True)),
-            batch_format="pyarrow")
-        .repartition(1)
-        .map_batches(
-            lambda b: arrow_from_pandas(
-                _agg_frame(b.to_pandas(), ["__g"], specs,
-                           reagg=True).drop(columns="__g")),
-            batch_format="pyarrow")
-    )
-
-
-def _level_normalizer(group_cols: list[str], key_types: dict,
-                      specs: dict[str, tuple[str, str]]):
-    def normalize(b: pa.Table) -> pa.Table:
-        """Every level emits the SAME schema: all group cols (typed nulls
-        where collapsed) + aggregate cols, in one canonical order — union
-        and the streaming executor's schema dedup both depend on it."""
-        cols = {}
-        for c in group_cols:
-            cols[c] = (b.column(c) if c in b.schema.names
-                       else pa.nulls(b.num_rows, key_types[c]))
-        for name in specs:
-            cols[name] = b.column(name)
-        return pa.table(cols)
-
-    return normalize
-
-
-def _key_types(ds, group_cols: list[str]) -> dict:
+def _key_fields(ds, group_cols: list[str]) -> list:
     schema = ds.schema()
-    return {n: t for n, t in zip(schema.names, schema.types)
-            if n in group_cols}
+    types = dict(zip(schema.names, schema.types))
+    return [pa.field(c, types[c]) for c in group_cols]
+
+
+def _multi_level_aggregate(ds, group_cols: list[str],
+                           sets: list[list[str]],
+                           specs: dict[str, tuple[str, str]], nb: int):
+    """Shared engine for rollup / cube / grouping sets — ONE shuffle total.
+
+    Plan: per-block partial groupby on the finest key (the only pass over
+    raw rows) → each partial row is expanded to every requested level with
+    collapsed key columns replaced by typed SENTINELS (``joins._pad_like``,
+    never nulls: a null in an int64 key would upcast the pandas bucket
+    frame to float64 and corrupt ids ≥ 2^53, and all-null vs no-null blocks
+    would hash the same key into different buckets) plus a ``__lvl`` tag →
+    ONE bucketed exchange on ``(__lvl, *group_cols)`` → per-bucket
+    vectorized re-aggregation → collapsed sentinels restored to typed nulls
+    per level (the level id says exactly which columns were collapsed — no
+    value sniffing, so real data equal to a sentinel is safe).
+
+    vs the naive per-level chain: a k-level rollup costs 1 exchange instead
+    of k+1 (measured 6.6 s → ~2 s for cube at sf0.1 — Ray stage overhead
+    dominates on aggregate-sized data). The exchange ships ≤ levels ×
+    partial rows, still bounded by aggregate sets, never raw data.
+    """
+    from xhs_ocr_ray.stages.joins import _pad_like
+
+    import pyarrow.compute as pc
+
+    key_fields = _key_fields(ds, group_cols)
+    kept_sets = [frozenset(s) for s in sets]
+    partial = _partial_combine(ds, group_cols, specs)
+
+    def expand(batch: pa.Table) -> pa.Table:
+        tables = []
+        for i, kept in enumerate(kept_sets):
+            cols = {}
+            for f in key_fields:
+                cols[f.name] = (batch.column(f.name) if f.name in kept
+                                else _pad_like(f, batch.num_rows))
+            for name in specs:
+                cols[name] = batch.column(name)
+            cols["__lvl"] = pa.array(
+                np.full(batch.num_rows, i, dtype=np.int32))
+            tables.append(pa.table(cols))
+        return pa.concat_tables(tables)
+
+    def bucket_agg(chunk: pd.DataFrame) -> pd.DataFrame:
+        return _agg_frame(chunk.drop(columns="__kb"),
+                          ["__lvl", *group_cols], specs, reagg=True)
+
+    def finalize(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b.drop_columns(["__lvl"]).select(
+                [*group_cols, *specs.keys()])
+        lvls = b.column("__lvl").to_numpy(zero_copy_only=False)
+        tables = []
+        for i in np.unique(lvls):
+            sub = b.filter(pc.equal(b.column("__lvl"), int(i)))
+            kept = kept_sets[int(i)]
+            cols = {}
+            for f in key_fields:
+                cols[f.name] = (sub.column(f.name) if f.name in kept
+                                else pa.nulls(sub.num_rows, f.type))
+            for name in specs:
+                cols[name] = sub.column(name)
+            tables.append(pa.table(cols))
+        return pa.concat_tables(tables)
+
+    return (
+        partial.map_batches(expand, batch_format="pyarrow")
+        .map_batches(_add_key_bucket, batch_format="pyarrow",
+                     fn_kwargs={"key_cols": ["__lvl", *group_cols],
+                                "num_buckets": nb})
+        .groupby("__kb")
+        .map_groups(bucket_agg, batch_format="pandas")
+        .map_batches(finalize, batch_format="pyarrow")
+    )
 
 
 def rollup_aggregate(ds, group_cols: list[str],
@@ -230,34 +272,16 @@ def rollup_aggregate(ds, group_cols: list[str],
                      num_buckets: int | None = None):
     """``GROUP BY ROLLUP(group_cols)`` with aggregates ``specs``
     (``out_name -> (value_col, how)``, ``how`` in sum/count/min/max —
-    the decomposable aggregates; ``count`` counts rows like ``count(*)``).
+    the decomposable aggregates; ``count`` counts rows like ``count(*)``):
+    one row per group at every key-prefix level plus the grand total,
+    collapsed key columns emitted as typed nulls.
 
-    Plan: per-block partial groupby (map_batches combiner) → ONE bucketed
-    exchange on the finest key → exact finest level; each coarser level
-    re-aggregates the previous level's result (strictly smaller), with the
-    collapsed key emitted as a typed null — so a k-level rollup costs one
-    scan of the data plus k-1 shuffles over shrinking aggregate sets.
-    Grand-total level reduces to a handful of per-bucket rows merged in one
-    final single-block pass.
+    See :func:`_multi_level_aggregate` for the one-shuffle plan.
     """
     _check_specs("rollup_aggregate", specs)
-    nb = num_buckets or default_num_buckets()
-    normalize = _level_normalizer(group_cols, _key_types(ds, group_cols),
-                                  specs)
-    finest = _merge_level(_partial_combine(ds, group_cols, specs),
-                          group_cols, specs, nb)
-    levels = [finest.map_batches(normalize, batch_format="pyarrow")]
-    prev = finest
-    for depth in range(len(group_cols) - 1, 0, -1):
-        prev = _merge_level(prev, group_cols[:depth], specs, nb)
-        levels.append(prev.map_batches(normalize, batch_format="pyarrow"))
-    levels.append(
-        _grand_total(prev, specs).map_batches(normalize,
-                                              batch_format="pyarrow"))
-    out = levels[0]
-    for lvl in levels[1:]:
-        out = out.union(lvl)
-    return out
+    sets = [group_cols[:d] for d in range(len(group_cols), -1, -1)]
+    return _multi_level_aggregate(ds, group_cols, sets, specs,
+                                  num_buckets or default_num_buckets())
 
 
 def grouping_sets_aggregate(ds, group_cols: list[str],
@@ -265,10 +289,9 @@ def grouping_sets_aggregate(ds, group_cols: list[str],
                             specs: dict[str, tuple[str, str]],
                             num_buckets: int | None = None):
     """``GROUP BY GROUPING SETS(sets)`` — each set must be a subset of
-    ``group_cols``; ``[]`` means the grand total. The raw input is scanned
-    ONCE (finest-level combiner); every requested set re-aggregates the
-    finest aggregate set (already reduced to one row per distinct key).
-    Duplicate sets are emitted once, as in SQL ``DISTINCT`` grouping sets.
+    ``group_cols``; ``[]`` means the grand total. Duplicate sets are
+    emitted once, as in SQL ``DISTINCT`` grouping sets. The raw input is
+    scanned once and shuffled once (:func:`_multi_level_aggregate`).
     """
     _check_specs("grouping_sets_aggregate", specs)
     seen, uniq = set(), []
@@ -278,28 +301,12 @@ def grouping_sets_aggregate(ds, group_cols: list[str],
             raise ValueError(
                 f"grouping_sets_aggregate: set {s!r} not a subset of "
                 f"group_cols {group_cols!r}")
-        key = tuple(sorted(s))
+        key = frozenset(s)
         if key not in seen:
             seen.add(key)
             uniq.append(list(s))
-    nb = num_buckets or default_num_buckets()
-    normalize = _level_normalizer(group_cols, _key_types(ds, group_cols),
-                                  specs)
-    finest = _merge_level(_partial_combine(ds, group_cols, specs),
-                          group_cols, specs, nb)
-    levels = []
-    for s in uniq:
-        if sorted(s) == sorted(group_cols):
-            lvl = finest
-        elif s:
-            lvl = _merge_level(finest, s, specs, nb)
-        else:
-            lvl = _grand_total(finest, specs)
-        levels.append(lvl.map_batches(normalize, batch_format="pyarrow"))
-    out = levels[0]
-    for lvl in levels[1:]:
-        out = out.union(lvl)
-    return out
+    return _multi_level_aggregate(ds, group_cols, uniq, specs,
+                                  num_buckets or default_num_buckets())
 
 
 def cube_aggregate(ds, group_cols: list[str],

@@ -1065,6 +1065,53 @@ def _q_stratified_sample(sf_dir: str):
     ).select_columns(["doc_id", "lang"])
 
 
+_HLL_P = 12
+
+
+def _q_hll_distinct(sf_dir: str):
+    """HyperLogLog approximate distinct event_ids — md5-register sketch,
+    deterministic across engines, so even the ESTIMATE is oracle-checked
+    bit-exactly (the SQL recomputes the registers)."""
+    import pyarrow as pa
+
+    from xhs_ocr_ray.stages.sketches import hll_count_distinct
+
+    est = hll_count_distinct(
+        _read(sf_dir, "events", columns=["event_id"]), "event_id", p=_HLL_P)
+    return pa.table({"n_distinct_est": pa.array([est], pa.float64())})
+
+
+def _hll_sql(expr: str, table: str) -> str:
+    from xhs_ocr_ray.stages.sketches import hll_alpha
+
+    p = _HLL_P
+    m = 1 << p
+    width = 64 - p
+    maxrho = width + 1
+    alpha = repr(hll_alpha(p))
+    raw = (f"CAST({alpha} AS DOUBLE) * {m} * {m} * {float(1 << maxrho)!r} "
+           f"/ CAST(S AS DOUBLE)")
+    return f"""
+        WITH u AS (SELECT DISTINCT CAST({expr} AS VARCHAR) AS v FROM {table}),
+        hx AS (SELECT ('0x' || substr(md5(v), 1, 16))::UBIGINT AS h FROM u),
+        parts AS (SELECT CAST(h >> {width} AS BIGINT) AS idx,
+                         h & ((1::UBIGINT << {width}) - 1) AS w FROM hx),
+        regs AS (SELECT idx, MAX(CASE WHEN w = 0 THEN {maxrho}
+                                      ELSE {maxrho} - length(bin(w))
+                                 END) AS r
+                 FROM parts GROUP BY idx),
+        s AS (SELECT ({m} - count(*)) * (1::HUGEINT << {maxrho})
+                     + COALESCE(sum(1::HUGEINT << ({maxrho} - r)), 0) AS S,
+                     {m} - count(*) AS V
+              FROM regs)
+        SELECT CASE WHEN {raw} <= {2.5 * m!r} AND V > 0
+                    THEN {float(m)!r} * ln({float(m)!r} / V)
+                    ELSE {raw}
+               END AS n_distinct_est
+        FROM s
+    """
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "window_filter": _q_window_filter,
@@ -1115,6 +1162,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_dedup": _q_incremental_dedup,
         "outer_join": _q_outer_join,
         "stratified_sample": _q_stratified_sample,
+        "hll_distinct": _q_hll_distinct,
     }
 
 
@@ -1614,6 +1662,7 @@ def oracle_sql() -> dict[str, str]:
               CASE lang WHEN 'en' THEN '8000' WHEN 'zh' THEN '4000'
                         ELSE '1000' END
         """,
+        "hll_distinct": _hll_sql("event_id", "events"),
         "lang_id": _lang_id_sql(),
         # -- CJK-branch corpus is routed by doc_id, so the result is a CASE
         "lang_id_cjk": """

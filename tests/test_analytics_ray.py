@@ -265,3 +265,32 @@ def test_stratified_hash_sample(ray_session):
     with pytest.raises(ValueError):
         stratified_hash_sample(_mk(t), strata_col="lang",
                                content_col="text", thresholds={"en": "80"})
+
+
+def test_hll_count_distinct(ray_session):
+    import pytest
+
+    from xhs_ocr_ray.stages.sketches import hll_count_distinct, hll_estimate
+
+    n_distinct = 2000
+    ids = np.concatenate([np.arange(n_distinct), np.arange(500)])  # + dups
+    t = pa.table({"v": pa.array(ids, pa.int64())})
+    est1 = hll_count_distinct(_mk(t, 1), "v")
+    est16 = hll_count_distinct(_mk(t, 16), "v")
+    assert est1 == est16  # deterministic: block split cannot move the estimate
+    assert abs(est1 - n_distinct) / n_distinct < 0.05
+
+    # nulls are skipped (count(DISTINCT col) semantics)
+    tn = pa.table({"v": pa.array([1, None, 2, None, 1], pa.int64())})
+    small = hll_count_distinct(_mk(tn, 2), "v")
+    assert 0 < small < 10
+
+    # empty input estimates zero (linear-counting branch, V = m)
+    assert hll_count_distinct(_mk(t.slice(0, 0), 1), "v") == 0.0
+
+    with pytest.raises(ValueError):
+        hll_count_distinct(_mk(t), "v", p=2)
+
+    # estimator unit check: one filled register at rank 1, p=12
+    e = hll_estimate(np.array([5]), np.array([1]), 12)
+    assert e > 0

@@ -825,6 +825,39 @@ def _q_range_join(sf_dir: str):
     ).select_columns(["event_id", "range_id"])
 
 
+_GRID_US = 12 * 3_600_000_000
+_GRID_SPAN_US = 30 * 3_600_000_000  # 2.5 grid cells → real multi-cell fan-out
+
+
+def _q_range_join_grid(sf_dir: str):
+    """Interval join with NEITHER side broadcast: events × 30h ranges via
+    the grid-partitioned shuffle (each range fans out to its 12h cells,
+    one exchange co-locates rows with candidate ranges)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from xhs_ocr_ray.stages.joins import range_join_shuffle
+
+    def mk_ranges(b: pa.Table) -> pa.Table:
+        nk = b.column("n_nationkey")
+        starts = pc.add(pc.multiply(pc.cast(nk, pa.int64()), _GRID_US),
+                        _RANGE_BASE_US)
+        return pa.table({
+            "range_id": nk,
+            "start_ts": starts.cast(pa.timestamp("us")),
+            "end_ts": pc.add(starts, _GRID_SPAN_US).cast(pa.timestamp("us")),
+        })
+
+    ranges = _read(sf_dir, "nation", columns=["n_nationkey"]) \
+        .map_batches(mk_ranges, batch_format="pyarrow")
+    out = range_join_shuffle(
+        _read(sf_dir, "events", columns=["event_id", "ts"]), ranges,
+        ts_col="ts", start_col="start_ts", end_col="end_ts",
+        range_cols=["range_id"], grid_us=_GRID_US,
+    )
+    return out.select_columns(["event_id", "range_id"])
+
+
 def _q_grouped_topk(sf_dir: str):
     """Top-3 orders per priority class by total price (row_number window)."""
     from xhs_ocr_ray.stages.ranking import grouped_topk
@@ -1163,6 +1196,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "outer_join": _q_outer_join,
         "stratified_sample": _q_stratified_sample,
         "hll_distinct": _q_hll_distinct,
+        "range_join_grid": _q_range_join_grid,
     }
 
 
@@ -1663,6 +1697,15 @@ def oracle_sql() -> dict[str, str]:
                         ELSE '1000' END
         """,
         "hll_distinct": _hll_sql("event_id", "events"),
+        "range_join_grid": """
+            SELECT e.event_id, n.n_nationkey AS range_id
+            FROM events e JOIN nation n
+              ON e.ts >= TIMESTAMP '2024-01-01'
+                         + n.n_nationkey * INTERVAL '12 hours'
+             AND e.ts <  TIMESTAMP '2024-01-01'
+                         + n.n_nationkey * INTERVAL '12 hours'
+                         + INTERVAL '30 hours'
+        """,
         "lang_id": _lang_id_sql(),
         # -- CJK-branch corpus is routed by doc_id, so the result is a CASE
         "lang_id_cjk": """

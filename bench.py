@@ -37,7 +37,7 @@ QUERY_NAMES = [
     "grouped_topk", "grouped_quantiles", "tfidf_topk", "shuffle_join",
     "keyed_window", "rollup_agg", "cube_agg", "pivot_events",
     "quantile_filter", "repetition_signals", "incremental_dedup",
-    "outer_join", "stratified_sample", "hll_distinct",
+    "outer_join", "stratified_sample", "hll_distinct", "range_join_grid",
 ]
 
 

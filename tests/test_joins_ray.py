@@ -252,3 +252,51 @@ def test_shuffle_join_right_and_full_outer(ray_session):
            .to_pandas().sort_values("k").reset_index(drop=True))
     assert rgt["k"].tolist() == [2, 3, 4]
     assert pd.isna(rgt["lv"][2]) and rgt["rv"].tolist() == [200, 300, 400]
+
+
+def test_range_join_shuffle_matches_broadcast(ray_session):
+    """Grid-partitioned interval join must equal the broadcast variant on
+    identical inputs, including ranges spanning many cells, empty ranges,
+    and boundary timestamps (start inclusive, end exclusive)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from xhs_ocr_ray.stages.joins import (range_join_broadcast,
+                                          range_join_shuffle)
+
+    rng = np.random.default_rng(21)
+    n = 400
+    ts = rng.integers(0, 10_000, n) * 1000  # µs
+    left = pa.table({
+        "row_id": pa.array(np.arange(n), pa.int64()),
+        "ts": pa.array(ts, pa.int64()).cast(pa.timestamp("us")),
+    })
+    ranges = pa.table({
+        "range_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+        "start_ts": pa.array([0, 2_000_000, 2_500_000, 9_000_000,
+                              5_000_000], pa.int64()).cast(pa.timestamp("us")),
+        # range 3 is empty (end == start); range 0 spans many 0.5s cells
+        "end_ts": pa.array([4_000_000, 3_000_000, 2_500_001, 9_000_000,
+                            5_500_000], pa.int64()).cast(pa.timestamp("us")),
+    })
+    want = (
+        range_join_broadcast(
+            ray.data.from_arrow(left).repartition(4), ranges,
+            ts_col="ts", start_col="start_ts", end_col="end_ts",
+            range_cols=["range_id"])
+        .to_pandas()[["row_id", "range_id"]]
+        .sort_values(["row_id", "range_id"]).reset_index(drop=True)
+    )
+    assert len(want) > 0
+    for grid in (500_000, 3_000_000):  # cells smaller and larger than spans
+        got = (
+            range_join_shuffle(
+                ray.data.from_arrow(left).repartition(4),
+                ray.data.from_arrow(ranges).repartition(2),
+                ts_col="ts", start_col="start_ts", end_col="end_ts",
+                range_cols=["range_id"], grid_us=grid)
+            .to_pandas()[["row_id", "range_id"]]
+            .sort_values(["row_id", "range_id"]).reset_index(drop=True)
+        )
+        assert got.equals(want), f"grid={grid}"

@@ -267,3 +267,109 @@ def range_join_broadcast(left_ds, ranges: pa.Table, *, ts_col: str,
         return pa.table(out)
 
     return left_ds.map_batches(match, batch_format="pyarrow")
+
+
+def range_join_shuffle(left_ds, ranges_ds, *, ts_col: str, start_col: str,
+                       end_col: str, range_cols: list[str], grid_us: int,
+                       num_buckets: int | None = None):
+    """Distributed interval join (``range_join_broadcast``'s complement:
+    use it when the range table does NOT fit a broadcast). Inner-joins
+    every left row to every range with ``start <= ts < end``.
+
+    Time is cut into fixed cells of ``grid_us`` microseconds: each left row
+    lands in exactly ONE cell (``ts // grid``), each range fans out to
+    every cell its ``[start, end)`` span overlaps. ONE bucketed exchange on
+    the cell id co-locates rows with all candidate ranges; per cell the
+    match is the same vectorized comparison matrix as the broadcast
+    variant. Each (row, range) match occurs in exactly one cell — no
+    cross-cell duplicates.
+
+    Choose ``grid_us`` near the typical range length: replication factor =
+    span/grid + 1 per range, while the per-cell matrix stays
+    (rows-in-cell × ranges-overlapping-cell). A pathologically hot cell
+    concentrates in one bucket — the standard trade of grid-partitioned
+    interval/spatial joins; the output is exact (no caps).
+    """
+    nb = num_buckets or default_num_buckets()
+    ls = left_ds.schema()
+    left_fields = [pa.field(n, t) for n, t in zip(ls.names, ls.types)]
+    rs_ = ranges_ds.schema()
+    r_types = dict(zip(rs_.names, rs_.types))
+    range_fields = [pa.field(c, r_types[c]) for c in range_cols]
+    lnames = [f.name for f in left_fields]
+    rnames = [f.name for f in range_fields]
+    if set(lnames) & set(rnames):
+        raise ValueError("range_join_shuffle: column names collide: "
+                         f"{sorted(set(lnames) & set(rnames))}")
+
+    def tag_left(b: pa.Table) -> pa.Table:
+        ts = b.column(ts_col).cast(pa.int64()).to_numpy()
+        cols = {f.name: b.column(f.name) for f in left_fields}
+        for f in range_fields:
+            cols[f.name] = _pad_like(f, b.num_rows)
+        cols["__ts"] = pa.array(ts)
+        cols["__rs"] = pa.array(np.zeros(b.num_rows, np.int64))
+        cols["__re"] = pa.array(np.zeros(b.num_rows, np.int64))
+        cols["__gc"] = pa.array(ts // grid_us)
+        cols[_KIND] = pa.array(np.zeros(b.num_rows, dtype=np.int8))
+        return pa.table(cols)
+
+    def tag_ranges(b: pa.Table) -> pa.Table:
+        s = b.column(start_col).cast(pa.int64()).to_numpy()
+        e = b.column(end_col).cast(pa.int64()).to_numpy()
+        first = s // grid_us
+        # empty ranges (end <= start) still emit one cell; they match nothing
+        last = np.maximum(first, (e - 1) // grid_us)
+        counts = (last - first + 1).astype(np.int64)
+        idx = np.repeat(np.arange(len(s)), counts)
+        offs = (np.arange(int(counts.sum()), dtype=np.int64)
+                - np.repeat(np.cumsum(counts) - counts, counts))
+        take = pa.array(idx, pa.int64())
+        cols = {}
+        for f in left_fields:
+            cols[f.name] = _pad_like(f, len(idx))
+        for f in range_fields:
+            cols[f.name] = b.column(f.name).take(take)
+        cols["__ts"] = pa.array(np.zeros(len(idx), np.int64))
+        cols["__rs"] = pa.array(s[idx])
+        cols["__re"] = pa.array(e[idx])
+        cols["__gc"] = pa.array(first[idx] + offs)
+        cols[_KIND] = pa.array(np.ones(len(idx), dtype=np.int8))
+        return pa.table(cols)
+
+    def cell_join(chunk: pd.DataFrame) -> pd.DataFrame:
+        import pandas as pd_
+
+        out = []
+        for _, g in chunk.groupby("__gc", sort=False):
+            l = g[g[_KIND] == 0]
+            r = g[g[_KIND] == 1]
+            if not len(l) or not len(r):
+                continue
+            tsv = l["__ts"].to_numpy()
+            rs = r["__rs"].to_numpy()
+            re_ = r["__re"].to_numpy()
+            mask = (tsv[:, None] >= rs[None, :]) & (tsv[:, None] < re_[None, :])
+            li, ri = np.nonzero(mask)
+            if not len(li):
+                continue
+            frame = l.iloc[li][lnames].reset_index(drop=True)
+            for c in rnames:
+                frame[c] = r.iloc[ri][c].to_numpy()
+            out.append(frame)
+        if not out:
+            empty = chunk.iloc[:0]  # typed empty (dtype-preserving slice)
+            frame = empty[lnames].copy()
+            for c in rnames:
+                frame[c] = empty[c]
+            return frame
+        return pd_.concat(out, ignore_index=True)
+
+    tagged = (
+        left_ds.map_batches(tag_left, batch_format="pyarrow")
+        .union(ranges_ds.map_batches(tag_ranges, batch_format="pyarrow"))
+        .map_batches(_add_key_bucket, batch_format="pyarrow",
+                     fn_kwargs={"key_cols": ["__gc"], "num_buckets": nb})
+    )
+    return tagged.groupby("__kb").map_groups(cell_join,
+                                             batch_format="pandas")

@@ -300,3 +300,40 @@ def test_range_join_shuffle_matches_broadcast(ray_session):
             .sort_values(["row_id", "range_id"]).reset_index(drop=True)
         )
         assert got.equals(want), f"grid={grid}"
+
+
+def test_bloom_prefilter_never_drops_matches(ray_session):
+    """Composed bloom-prefilter + exact join == unfiltered join; most
+    non-matching rows are dropped before any exchange."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from xhs_ocr_ray.stages.bloom import bloom_prefilter, build_bloom
+    from xhs_ocr_ray.stages.joins import shuffle_join
+
+    keys = np.arange(0, 5000, 7)  # selective side: 715 keys
+    small = ray.data.from_arrow(pa.table({
+        "sk": pa.array(keys, pa.int64()),
+        "sv": pa.array(keys * 2, pa.int64()),
+    })).repartition(3)
+    big = ray.data.from_arrow(pa.table({
+        "k": pa.array(np.arange(5000), pa.int64()),
+        "v": pa.array(np.arange(5000) + 10, pa.int64()),
+    })).repartition(5)
+
+    words = build_bloom(small, "sk", n_bits=1 << 16)
+    pre = bloom_prefilter(big, "k", words).materialize()
+    # no false negatives: every true match survives the prefilter
+    want = (shuffle_join(big, small, on="k", right_on="sk", how="inner")
+            .to_pandas().sort_values("k").reset_index(drop=True))
+    got = (shuffle_join(pre, small, on="k", right_on="sk", how="inner")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    assert got.equals(want) and len(got) == len(keys)
+    # and the prefilter actually thinned the non-matching 85%
+    assert len(keys) <= pre.count() < 5000 * 0.5
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        build_bloom(small, "sk", n_bits=1000)  # not a power of two

@@ -57,6 +57,8 @@ SHORT_LINK_BLOCK = 40
 def _is_pruned(el: Element) -> bool:
     if el.tag in PRUNE_TAGS:
         return True
+    if not el.attrs:  # fast path: most elements carry no class/id at all
+        return False
     if el.tag in ("article", "main", "body"):
         return False
     marker = el.attr("class") + " " + el.attr("id")

@@ -42,6 +42,8 @@ _CJK_RANGES: tuple[tuple[int, int], ...] = (
 def is_cjk_char(ch: str) -> bool:
     """True if ``ch`` belongs to the frozen CJK-family ranges above."""
     cp = ord(ch)
+    if cp < 0x1100:  # ASCII/Latin fast path — the overwhelming hot case
+        return False
     for lo, hi in _CJK_RANGES:
         if lo <= cp <= hi:
             return True

@@ -435,13 +435,9 @@ def _q_count_distinct(sf_dir: str):
     ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
 
     def batch_dedup(b):
-        import pyarrow as pa
-
-        df = pd.DataFrame(
-            {"user_id": b.column("user_id").to_pylist(),
-             "event_type": b.column("event_type").to_pylist()}
-        ).drop_duplicates()
-        return arrow_from_pandas(df)
+        # per-block pre-dedup in ARROW (zero-copy): the exchange then ships
+        # at most (keys x types) rows per block, not raw events
+        return b.group_by(["user_id", "event_type"]).aggregate([])
 
     def bucket_nunique(chunk: pd.DataFrame) -> pd.DataFrame:
         out = (
@@ -1145,6 +1141,19 @@ def _hll_sql(expr: str, table: str) -> str:
     """
 
 
+def _q_string_agg(sf_dir: str):
+    """Per-user ordered event-type concatenation — SQL string_agg with
+    ORDER BY (order-sensitive: one keyed exchange, no pre-reduce)."""
+    from xhs_ocr_ray.stages.analytics import grouped_string_agg
+
+    return grouped_string_agg(
+        _read(sf_dir, "events",
+              columns=["user_id", "event_id", "event_type"]),
+        ["user_id"], "event_type", ["event_id"], sep=",",
+        out_col="types_concat",
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "window_filter": _q_window_filter,
@@ -1197,6 +1206,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": _q_stratified_sample,
         "hll_distinct": _q_hll_distinct,
         "range_join_grid": _q_range_join_grid,
+        "string_agg": _q_string_agg,
     }
 
 
@@ -1697,6 +1707,12 @@ def oracle_sql() -> dict[str, str]:
                         ELSE '1000' END
         """,
         "hll_distinct": _hll_sql("event_id", "events"),
+        "string_agg": """
+            SELECT user_id,
+                   string_agg(event_type, ',' ORDER BY event_id)
+                     AS types_concat
+            FROM events GROUP BY user_id
+        """,
         "range_join_grid": """
             SELECT e.event_id, n.n_nationkey AS range_id
             FROM events e JOIN nation n

@@ -294,3 +294,20 @@ def test_hll_count_distinct(ray_session):
     # estimator unit check: one filled register at rank 1, p=12
     e = hll_estimate(np.array([5]), np.array([1]), 12)
     assert e > 0
+
+
+def test_grouped_string_agg(ray_session):
+    from xhs_ocr_ray.stages.analytics import grouped_string_agg
+
+    t = pa.table({
+        "k": pa.array([1, 2, 1, 1, 2], pa.int64()),
+        "o": pa.array([3, 1, 1, 2, 2], pa.int64()),
+        "v": pa.array(["c", "x", "a", "b", "y"]),
+    })
+    for blocks in (1, 4):
+        out = (
+            grouped_string_agg(_mk(t, blocks), ["k"], "v", ["o"],
+                               sep="|", out_col="s")
+            .to_pandas().sort_values("k").reset_index(drop=True)
+        )
+        assert out["s"].tolist() == ["a|b|c", "x|y"]

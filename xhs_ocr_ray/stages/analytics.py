@@ -128,6 +128,40 @@ def keyed_window(ds, key_cols: list[str], order_cols: list[str],
     )
 
 
+def grouped_string_agg(ds, key_cols: list[str], val_col: str,
+                       order_cols: list[str], *, sep: str = ",",
+                       out_col: str = "agg",
+                       num_buckets: int | None = None):
+    """SQL ``string_agg(val, sep ORDER BY order_cols) GROUP BY key_cols``.
+
+    Concatenation is order-sensitive, so (like :func:`keyed_window`) it
+    cannot be pre-reduced: one key-bucketed exchange ships the projected
+    ``(keys, order, val)`` rows, then each bucket sorts once and joins each
+    key's values vectorized (one ``groupby().agg(join)`` — no per-key
+    dispatch). ``order_cols`` must be a unique total order within a key for
+    a deterministic result. Each key's concatenated string materializes on
+    one worker — the same per-key-fits-a-worker contract as sessionize.
+    """
+    nb = num_buckets or default_num_buckets()
+
+    def bucket_concat(chunk: pd.DataFrame) -> pd.DataFrame:
+        df = chunk.sort_values([*key_cols, *order_cols], kind="mergesort")
+        out = (df.groupby(key_cols, sort=False)[val_col]
+               .agg(lambda s: sep.join(s.astype(str)))
+               .reset_index(name=out_col))
+        return out
+
+    proj = ds.select_columns(
+        list(dict.fromkeys([*key_cols, *order_cols, val_col])))
+    return (
+        proj.map_batches(_add_key_bucket, batch_format="pyarrow",
+                         fn_kwargs={"key_cols": key_cols,
+                                    "num_buckets": nb})
+        .groupby("__kb")
+        .map_groups(bucket_concat, batch_format="pandas")
+    )
+
+
 _ROLLUP_AGGS = ("sum", "count", "min", "max")
 
 

@@ -1154,6 +1154,51 @@ def _q_string_agg(sf_dir: str):
     )
 
 
+def _q_jsonl_source(sf_dir: str):
+    """Row-tolerant JSONL read: a derived JSONL corpus (events re-encoded,
+    with every event_id % 7 == 0 line deterministically corrupted) parsed
+    back with quarantine — ok rows must equal the closed-form SQL."""
+    import hashlib
+    import os as _os
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from xhs_ocr_ray.sources.jsonl import read_jsonl_tolerant
+
+    cache = "/tmp/xhs_jsonl_cache"
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    path = _os.path.join(cache, f"events_{tag}_v1.jsonl")
+    if not _os.path.exists(path):
+        # fixture derivation (bounded, like _derived_dup_corpus): re-encode
+        # the events table as JSONL, corrupting every 7th id
+        _os.makedirs(cache, exist_ok=True)
+        t = pq.read_table(_os.path.join(sf_dir, "events.parquet"),
+                          columns=["event_id", "user_id", "event_type"])
+        import json as _json
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            for eid, uid, et in zip(t.column("event_id").to_pylist(),
+                                    t.column("user_id").to_pylist(),
+                                    t.column("event_type").to_pylist()):
+                if eid % 7 == 0:
+                    f.write('{"event_id": %d, "user_id": ' % eid + "\n")
+                else:
+                    f.write(_json.dumps({"event_id": eid, "user_id": uid,
+                                         "event_type": et}) + "\n")
+        _os.replace(tmp, path)
+
+    ds = read_jsonl_tolerant(path, {
+        "event_id": pa.int64(), "user_id": pa.int64(),
+        "event_type": pa.string(),
+    })
+    return ds.map_batches(
+        lambda b: b.filter(pc.equal(b.column("status"), "ok"))
+                   .drop_columns(["status"]),
+        batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "window_filter": _q_window_filter,
@@ -1207,6 +1252,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct": _q_hll_distinct,
         "range_join_grid": _q_range_join_grid,
         "string_agg": _q_string_agg,
+        "jsonl_source": _q_jsonl_source,
     }
 
 
@@ -1712,6 +1758,10 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(event_type, ',' ORDER BY event_id)
                      AS types_concat
             FROM events GROUP BY user_id
+        """,
+        "jsonl_source": """
+            SELECT event_id, user_id, event_type FROM events
+            WHERE event_id % 7 <> 0
         """,
         "range_join_grid": """
             SELECT e.event_id, n.n_nationkey AS range_id

@@ -174,3 +174,25 @@ def test_cn_garbage_counts_are_missing():
     assert rec["follows"] == MISSING  # garbage
     assert rec["fans"] == 0           # genuine zero
     assert rec["interaction"] == 0    # genuine zero with unit
+
+
+def test_read_jsonl_tolerant(ray_session, tmp_path):
+    import pyarrow as pa
+
+    from xhs_ocr_ray.sources.jsonl import read_jsonl_tolerant
+
+    p = tmp_path / "rows.jsonl"
+    p.write_text("\n".join([
+        '{"id": 1, "name": "a", "n": 5}',
+        '{"id": "2", "name": "b"}',          # numeric string coerced, n null
+        'not json at all',                    # invalid -> quarantined
+        '[1, 2, 3]',                          # non-object -> quarantined
+        '{"id": 4, "name": 7, "n": "x"}',    # name jsonified, n uncoercible
+    ]) + "\n")
+    out = read_jsonl_tolerant(str(p), {
+        "id": pa.int64(), "name": pa.string(), "n": pa.int64(),
+    }).to_pandas().sort_values("id", na_position="last").reset_index(drop=True)
+    assert out.status.tolist() == ["ok", "ok", "invalid", "invalid", "invalid"]
+    assert out.id.dropna().astype(int).tolist() == [1, 2, 4]
+    assert out.loc[2, "name"] == "7"  # non-string field jsonified, row flagged
+    assert out.n.dropna().astype(int).tolist() == [5]

@@ -714,6 +714,34 @@ def _q_png_features(sf_dir: str):
     )
 
 
+def _q_gif_features(sf_dir: str):
+    """Same decode→features path as png_features but over real
+    LZW-compressed GIF payloads — same closed-form pixels, same oracle."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from xhs_ocr_ray.sources.media import gif_media_from_documents
+    from xhs_ocr_ray.stages.multimodal import ImageDecode
+
+    return (
+        _read(sf_dir, "documents", columns=["doc_id"])
+        .map_batches(gif_media_from_documents, batch_format="pyarrow")
+        .map_batches(ImageDecode, batch_format="pyarrow", batch_size=64,
+                     concurrency=(1, 4))
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "media_id": b.column("media_id"),
+                    "width": pc.cast(b.column("dec_width"), pa.int64()),
+                    "height": pc.cast(b.column("dec_height"), pa.int64()),
+                    "mean_val": b.column("mean_val"),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
 def _q_lang_id(sf_dir: str):
     from xhs_ocr_ray.stages.text_analysis import LangId
 
@@ -1234,6 +1262,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": _q_lang_id,
         "lang_id_cjk": _q_lang_id_cjk,
         "png_features": _q_png_features,
+        "gif_features": _q_gif_features,
         "asof_join": _q_asof_join,
         "range_join": _q_range_join,
         "shuffle_join": _q_shuffle_join,
@@ -1782,6 +1811,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         # -- PNG synthesis + decode are closed-form in doc_id (sources/media.py)
         "png_features": """
+            WITH p AS (
+              SELECT doc_id,
+                     16 + doc_id % 7 AS w, 12 + doc_id % 5 AS h,
+                     doc_id % 256 AS c1, (doc_id * 7) % 251 AS c2
+              FROM documents
+            )
+            SELECT doc_id AS media_id,
+                   CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+                   CAST(c1 * (w // 2) * h + c2 * (w - w // 2) * h AS DOUBLE)
+                     / (w * h) AS mean_val
+            FROM p
+        """,
+        # -- GIF corpus carries the identical closed-form pixels
+        "gif_features": """
             WITH p AS (
               SELECT doc_id,
                      16 + doc_id % 7 AS w, 12 + doc_id % 5 AS h,

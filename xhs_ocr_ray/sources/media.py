@@ -51,3 +51,35 @@ def png_media_from_documents(batch: pa.Table) -> pa.Table:
         },
         schema=MEDIA_SCHEMA,
     )
+
+
+def gif_media_from_documents(batch: pa.Table) -> pa.Table:
+    """documents(doc_id, …) → media rows with real GIF payloads (same
+    closed-form geometry/pixels as the PNG corpus, so the same SQL oracle
+    holds; the LZW-compressed stream exercises the real GIF decode path)."""
+    from xhs_ocr_ray.gif import encode_gif
+
+    doc_ids = batch.column("doc_id").to_pylist()
+    payloads: list[bytes] = []
+    widths: list[int] = []
+    heights: list[int] = []
+    for doc_id in doc_ids:
+        w = 16 + doc_id % 7
+        h = 12 + doc_id % 5
+        img = np.full((h, w), (doc_id * 7) % 251, dtype=np.uint8)
+        img[:, : w // 2] = doc_id % 256
+        payloads.append(encode_gif(img))
+        widths.append(w)
+        heights.append(h)
+    n = len(doc_ids)
+    return pa.table(
+        {
+            "media_id": pa.array(doc_ids, pa.int64()),
+            "media_type": pa.array(["image"] * n, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+            "width": pa.array(widths, pa.int32()),
+            "height": pa.array(heights, pa.int32()),
+            "duration_ms": pa.array([0] * n, pa.int32()),
+        },
+        schema=MEDIA_SCHEMA,
+    )

@@ -60,10 +60,14 @@ class ImageDecode:
     def _decode(self, payload: bytes, w: int, h: int) -> np.ndarray:
         if payload[:8] == _PNG_SIG:
             return decode_png(payload)  # real pixels, real dims
+        if payload[:6] in (b"GIF87a", b"GIF89a"):
+            from xhs_ocr_ray.gif import decode_gif
+
+            return decode_gif(payload)  # real pixels (pure-Python LZW)
         if not self.fake:
             raise NotImplementedError(
-                "non-PNG image decode requires PIL/cv2, not present in this "
-                "container; PNG decodes natively — construct "
+                "image decode beyond PNG/GIF requires PIL/cv2, not present "
+                "in this container; PNG and GIF decode natively — construct "
                 "ImageDecode(fake=True) for a deterministic stub otherwise"
             )
         return _fake_pixels(payload, w, h)

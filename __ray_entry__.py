@@ -742,6 +742,20 @@ def _q_gif_features(sf_dir: str):
     )
 
 
+def _q_regex_extract(sf_dir: str):
+    """First number in each document text — vectorized RE2 extract
+    (SQL regexp_extract semantics: '' when no match)."""
+    from xhs_ocr_ray.stages.text_analysis import regex_extract_batch
+
+    return (
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(regex_extract_batch, batch_format="pyarrow",
+                     fn_kwargs={"col": "text", "pattern": "[0-9]+",
+                                "out_col": "first_num"})
+        .select_columns(["doc_id", "first_num"])
+    )
+
+
 def _q_lang_id(sf_dir: str):
     from xhs_ocr_ray.stages.text_analysis import LangId
 
@@ -1263,6 +1277,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id_cjk": _q_lang_id_cjk,
         "png_features": _q_png_features,
         "gif_features": _q_gif_features,
+        "regex_extract": _q_regex_extract,
         "asof_join": _q_asof_join,
         "range_join": _q_range_join,
         "shuffle_join": _q_shuffle_join,
@@ -1791,6 +1806,10 @@ def oracle_sql() -> dict[str, str]:
         "jsonl_source": """
             SELECT event_id, user_id, event_type FROM events
             WHERE event_id % 7 <> 0
+        """,
+        "regex_extract": """
+            SELECT doc_id, regexp_extract(text, '[0-9]+') AS first_num
+            FROM documents
         """,
         "range_join_grid": """
             SELECT e.event_id, n.n_nationkey AS range_id

@@ -38,7 +38,7 @@ QUERY_NAMES = [
     "keyed_window", "rollup_agg", "cube_agg", "pivot_events",
     "quantile_filter", "repetition_signals", "incremental_dedup",
     "outer_join", "stratified_sample", "hll_distinct", "range_join_grid",
-    "string_agg", "jsonl_source", "gif_features",
+    "string_agg", "jsonl_source", "gif_features", "regex_extract",
 ]
 
 

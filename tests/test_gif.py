@@ -51,3 +51,25 @@ def test_image_decode_handles_gif_payloads():
     out = ImageDecode()(batch).to_pandas()
     assert out.dec_width.tolist() == [8] and out.dec_height.tolist() == [6]
     assert out.mean_val.tolist() == [float(img.sum()) / img.size]
+
+
+def test_bmp_roundtrip_and_image_decode():
+    from xhs_ocr_ray.bmp import decode_bmp, encode_bmp
+    from xhs_ocr_ray.stages.multimodal import ImageDecode
+
+    rng = np.random.default_rng(5)
+    for shape in [(12, 16), (5, 7), (3, 1)]:
+        img = rng.integers(0, 256, shape).astype(np.uint8)
+        assert (decode_bmp(encode_bmp(img)) == img).all()
+    with pytest.raises(ValueError):
+        decode_bmp(b"XX nope")
+    img = np.arange(35, dtype=np.uint8).reshape(5, 7)
+    batch = pa.table({
+        "media_id": pa.array([1], pa.int64()),
+        "payload": pa.array([encode_bmp(img)], pa.binary()),
+        "width": pa.array([7], pa.int32()),
+        "height": pa.array([5], pa.int32()),
+    })
+    out = ImageDecode()(batch).to_pandas()
+    assert out.dec_width.tolist() == [7] and out.dec_height.tolist() == [5]
+    assert out.mean_val.tolist() == [float(img.sum()) / img.size]

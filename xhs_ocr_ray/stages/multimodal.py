@@ -64,11 +64,16 @@ class ImageDecode:
             from xhs_ocr_ray.gif import decode_gif
 
             return decode_gif(payload)  # real pixels (pure-Python LZW)
+        if payload[:2] == b"BM":
+            from xhs_ocr_ray.bmp import decode_bmp
+
+            return decode_bmp(payload)
         if not self.fake:
             raise NotImplementedError(
-                "image decode beyond PNG/GIF requires PIL/cv2, not present "
-                "in this container; PNG and GIF decode natively — construct "
-                "ImageDecode(fake=True) for a deterministic stub otherwise"
+                "image decode beyond PNG/GIF/BMP requires PIL/cv2, not "
+                "present in this container; those three decode natively — "
+                "construct ImageDecode(fake=True) for a deterministic stub "
+                "otherwise (e.g. JPEG payloads)"
             )
         return _fake_pixels(payload, w, h)
 

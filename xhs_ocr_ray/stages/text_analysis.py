@@ -49,6 +49,19 @@ def quality_score_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return out
 
 
+def regex_extract_batch(batch: pa.Table, *, col: str, pattern: str,
+                        out_col: str) -> pa.Table:
+    """Append the first match of ``pattern`` in ``col`` ('' when no match —
+    SQL ``regexp_extract`` semantics). Fully vectorized: Arrow's
+    ``extract_regex`` is RE2, the same engine DuckDB uses, so character
+    classes and alternation behave identically (Python ``re`` would not)."""
+    import pyarrow.compute as pc
+
+    ex = pc.extract_regex(batch.column(col), pattern=f"(?P<m>{pattern})")
+    return batch.append_column(
+        out_col, pc.fill_null(pc.struct_field(ex, "m"), ""))
+
+
 def repetition_signals_batch(batch: pa.Table, text_col: str = "text",
                              id_col: str = "doc_id") -> pa.Table:
     """Gopher-style repetition quality signals per document (Rae et al.

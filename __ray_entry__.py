@@ -1241,6 +1241,27 @@ def _q_jsonl_source(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_curation_pipeline(sf_dir: str):
+    """Composed corpus-curation flow — the ops chained the way a real
+    training-data pipeline uses them: quality gate (keep docs at/above the
+    global p25 of n_chars, exact histogram quantile) → per-language
+    deterministic downsampling (content-hash thresholds) → per-doc
+    repetition signals on the survivors."""
+    from xhs_ocr_ray.stages.analytics import quantile_threshold_filter
+    from xhs_ocr_ray.stages.sampling import stratified_hash_sample
+    from xhs_ocr_ray.stages.text_analysis import repetition_signals_batch
+
+    docs = _read(sf_dir, "documents",
+                 columns=["doc_id", "text", "lang", "n_chars"])
+    kept, _thr = quantile_threshold_filter(docs, "n_chars", 0.25)
+    sampled = stratified_hash_sample(
+        kept, strata_col="lang", content_col="text",
+        thresholds={"en": "c000", "zh": "8000"}, default="6000")
+    return sampled.map_batches(
+        repetition_signals_batch, batch_format="pyarrow"
+    ).select_columns(["doc_id", "n_words", "dup_word_frac"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "window_filter": _q_window_filter,
@@ -1278,6 +1299,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "png_features": _q_png_features,
         "gif_features": _q_gif_features,
         "regex_extract": _q_regex_extract,
+        "curation_pipeline": _q_curation_pipeline,
         "asof_join": _q_asof_join,
         "range_join": _q_range_join,
         "shuffle_join": _q_shuffle_join,
@@ -1810,6 +1832,35 @@ def oracle_sql() -> dict[str, str]:
         "regex_extract": """
             SELECT doc_id, regexp_extract(text, '[0-9]+') AS first_num
             FROM documents
+        """,
+        "curation_pipeline": """
+            WITH kept AS (
+              SELECT doc_id, text, lang FROM documents
+              WHERE n_chars >= (
+                SELECT quantile_disc(n_chars, 0.25) FROM documents)
+            ), sampled AS (
+              SELECT doc_id, text FROM kept
+              WHERE substr(md5(text), 1, 4) <
+                CASE lang WHEN 'en' THEN 'c000' WHEN 'zh' THEN '8000'
+                          ELSE '6000' END
+            ), tok AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS lst
+              FROM sampled
+            ), w AS (
+              SELECT doc_id, unnest(lst) AS w FROM tok
+            ), wc AS (
+              SELECT doc_id, w, count(*) AS c FROM w GROUP BY doc_id, w
+            ), stats AS (
+              SELECT doc_id, CAST(sum(c) AS BIGINT) AS n, count(*) AS d
+              FROM wc GROUP BY doc_id
+            )
+            SELECT t.doc_id,
+                   COALESCE(s.n, 0) AS n_words,
+                   CASE WHEN COALESCE(s.n, 0) = 0 THEN 0.0
+                        ELSE CAST(s.n - s.d AS DOUBLE) / s.n
+                   END AS dup_word_frac
+            FROM tok t LEFT JOIN stats s USING (doc_id)
         """,
         "range_join_grid": """
             SELECT e.event_id, n.n_nationkey AS range_id

@@ -1262,6 +1262,48 @@ def _q_curation_pipeline(sf_dir: str):
     ).select_columns(["doc_id", "n_words", "dup_word_frac"])
 
 
+def _q_csv_source(sf_dir: str):
+    """Row-tolerant CSV read: events re-encoded as headered CSV with every
+    event_id % 11 == 0 line truncated to too few fields — quarantined ok
+    rows must equal the closed-form SQL."""
+    import hashlib
+    import os as _os
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from xhs_ocr_ray.sources.jsonl import read_csv_tolerant
+
+    cache = "/tmp/xhs_jsonl_cache"
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    path = _os.path.join(cache, f"events_{tag}_v1.csv")
+    if not _os.path.exists(path):
+        _os.makedirs(cache, exist_ok=True)
+        t = pq.read_table(_os.path.join(sf_dir, "events.parquet"),
+                          columns=["event_id", "user_id", "event_type"])
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write("event_id,user_id,event_type\n")
+            for eid, uid, et in zip(t.column("event_id").to_pylist(),
+                                    t.column("user_id").to_pylist(),
+                                    t.column("event_type").to_pylist()):
+                if eid % 11 == 0:
+                    f.write(f"{eid},{uid}\n")  # missing field
+                else:
+                    f.write(f"{eid},{uid},{et}\n")
+        _os.replace(tmp, path)
+
+    ds = read_csv_tolerant(path, {
+        "event_id": pa.int64(), "user_id": pa.int64(),
+        "event_type": pa.string(),
+    })
+    return ds.map_batches(
+        lambda b: b.filter(pc.equal(b.column("status"), "ok"))
+                   .drop_columns(["status"]),
+        batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "window_filter": _q_window_filter,
@@ -1300,6 +1342,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gif_features": _q_gif_features,
         "regex_extract": _q_regex_extract,
         "curation_pipeline": _q_curation_pipeline,
+        "csv_source": _q_csv_source,
         "asof_join": _q_asof_join,
         "range_join": _q_range_join,
         "shuffle_join": _q_shuffle_join,
@@ -1832,6 +1875,10 @@ def oracle_sql() -> dict[str, str]:
         "regex_extract": """
             SELECT doc_id, regexp_extract(text, '[0-9]+') AS first_num
             FROM documents
+        """,
+        "csv_source": """
+            SELECT event_id, user_id, event_type FROM events
+            WHERE event_id % 11 <> 0
         """,
         "curation_pipeline": """
             WITH kept AS (

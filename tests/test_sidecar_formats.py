@@ -196,3 +196,25 @@ def test_read_jsonl_tolerant(ray_session, tmp_path):
     assert out.id.dropna().astype(int).tolist() == [1, 2, 4]
     assert out.loc[2, "name"] == "7"  # non-string field jsonified, row flagged
     assert out.n.dropna().astype(int).tolist() == [5]
+
+
+def test_read_csv_tolerant(ray_session, tmp_path):
+    import pyarrow as pa
+
+    from xhs_ocr_ray.sources.jsonl import read_csv_tolerant
+
+    p = tmp_path / "rows.csv"
+    p.write_text("\n".join([
+        "id,name,n",
+        "1,a,5",
+        '2,"quoted, name",',   # quoted comma + empty n -> null, still ok
+        "3,b",                  # short row -> quarantined
+        "4,c,notanint",         # uncoercible -> quarantined
+        "5,d,6,extra",          # long row -> quarantined
+    ]) + "\n")
+    out = read_csv_tolerant(str(p), {
+        "id": pa.int64(), "name": pa.string(), "n": pa.int64(),
+    }).to_pandas().sort_values("id", na_position="last").reset_index(drop=True)
+    assert out.status.tolist() == ["ok", "ok", "invalid", "invalid", "invalid"]
+    assert out.name.tolist()[:2] == ["a", "quoted, name"]
+    assert out.n.dropna().astype(int).tolist() == [5]

@@ -1,4 +1,4 @@
-"""Row-tolerant JSONL source.
+"""Row-tolerant JSONL and CSV sources.
 
 The reference's sidecar readers parse JSON payloads row-tolerantly (bad
 rows are quarantined with ``status='invalid'``, never crash the job —
@@ -62,6 +62,62 @@ def read_jsonl_tolerant(paths, schema: dict[str, pa.DataType], *,
                 row[n] = v
             for n in names:
                 cols[n].append(row[n])
+            status.append("ok" if ok else "invalid")
+        arrays = {n: pa.array(cols[n], schema[n]) for n in names}
+        arrays[status_col] = pa.array(status, pa.string())
+        return pa.table(arrays)
+
+    return ray.data.read_text(paths, **read_kwargs).map_batches(
+        parse, batch_format="pyarrow")
+
+
+def read_csv_tolerant(paths, schema: dict[str, pa.DataType], *,
+                      sep: str = ",", header: bool = True,
+                      status_col: str = "status", **read_kwargs):
+    """Headered CSV with the same quarantine contract as
+    :func:`read_jsonl_tolerant`: wrong field count or uncoercible values →
+    ``status='invalid'`` (fields null), never a raised row. Quoting follows
+    the csv module's default dialect. ``header=True`` drops any line that
+    exactly equals the schema's column header (the header line lands in
+    SOME block after the parallel text read — matching by content keeps the
+    parse order-independent)."""
+    import csv
+    import io
+
+    import ray.data
+
+    names = list(schema)
+    header_line = sep.join(names)
+
+    def parse(batch: pa.Table) -> pa.Table:
+        lines = [l for l in batch.column("text").to_pylist()
+                 if not (header and l == header_line)]
+        cols: dict[str, list] = {n: [] for n in names}
+        status = []
+        for line in lines:
+            try:
+                fields = next(csv.reader(io.StringIO(line),
+                                         delimiter=sep))
+            except (csv.Error, StopIteration):
+                fields = None
+            if fields is None or len(fields) != len(names):
+                for n in names:
+                    cols[n].append(None)
+                status.append("invalid")
+                continue
+            ok = True
+            for n, v in zip(names, fields):
+                typ = schema[n]
+                try:
+                    if v == "":
+                        v = None
+                    elif pa.types.is_integer(typ):
+                        v = int(v)
+                    elif pa.types.is_floating(typ):
+                        v = float(v)
+                except ValueError:
+                    v, ok = None, False
+                cols[n].append(v)
             status.append("ok" if ok else "invalid")
         arrays = {n: pa.array(cols[n], schema[n]) for n in names}
         arrays[status_col] = pa.array(status, pa.string())

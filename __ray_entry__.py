@@ -1078,7 +1078,8 @@ def _q_incremental_dedup(sf_dir: str):
         _derived_dup_corpus(sf_dir, "documents", "doc_id", "text", salt=False)
         .map_batches(fingerprint_batch, batch_format="pyarrow")
         .select_columns(["doc_id", "fp_md5"])
-    )
+    ).materialize()  # fixture derivation, consumed by BOTH runs below —
+    # one compute instead of two (narrow (id, fp) rows, never corpus-sized)
 
     def half(old: bool):
         def f(b: pa.Table) -> pa.Table:
@@ -1099,27 +1100,36 @@ def _q_outer_join(sf_dir: str):
     order counts vs per-user click counts — unmatched rows from EITHER
     side survive with typed-null payloads and the coalesced key."""
     import pyarrow.compute as pc
-    from ray.data.aggregate import Count
 
+    from xhs_ocr_ray.functions.arrow import strip_schema_metadata
+    from xhs_ocr_ray.stages.analytics import _merge_level, _partial_combine
+    from xhs_ocr_ray.stages.bucketing import default_num_buckets
     from xhs_ocr_ray.stages.joins import shuffle_join
 
-    left = (
+    def bucketed_count(ds, key: str, out: str):
+        # partial per-block counts + ONE exchange (cheaper than the
+        # sort-based native groupby for a plain count); back to Arrow
+        # blocks for shuffle_join's schema contract
+        specs = {out: (key, "count")}
+        return _merge_level(_partial_combine(ds, [key], specs), [key],
+                            specs, default_num_buckets()) \
+            .map_batches(strip_schema_metadata, batch_format="pyarrow")
+
+    left = bucketed_count(
         _read(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"])
         .map_batches(
             lambda b: b.filter(
                 pc.equal(b.column("o_orderpriority"), _URGENT))
             .drop_columns(["o_orderpriority"]),
-            batch_format="pyarrow")
-        .groupby("o_custkey").aggregate(Count(alias_name="n_urgent"))
-    )
-    right = (
+            batch_format="pyarrow"),
+        "o_custkey", "n_urgent")
+    right = bucketed_count(
         _read(sf_dir, "events", columns=["user_id", "event_type"])
         .map_batches(
             lambda b: b.filter(pc.equal(b.column("event_type"), "click"))
             .drop_columns(["event_type"]),
-            batch_format="pyarrow")
-        .groupby("user_id").aggregate(Count(alias_name="n_clicks"))
-    )
+            batch_format="pyarrow"),
+        "user_id", "n_clicks")
     return shuffle_join(left, right, on="o_custkey", right_on="user_id",
                         how="outer")
 

@@ -432,8 +432,16 @@ def quantile_threshold_filter(ds, col: str, q: float, *,
         return arrow_from_pandas(
             pd.DataFrame({col: vc.index, "__n": vc.to_numpy()}))
 
-    counts = _merge_level(ds.map_batches(hist, batch_format="pyarrow"),
-                          [col], {"__n": ("__n", "sum")}, nb).to_pandas()
+    merged = _merge_level(ds.map_batches(hist, batch_format="pyarrow"),
+                          [col], {"__n": ("__n", "sum")}, nb).materialize()
+    if merged.count() > 5_000_000:
+        raise ValueError(
+            f"quantile_threshold_filter: {col!r} has "
+            f"{merged.count()} distinct values — the histogram reduce "
+            "assumes a bounded score DOMAIN (int-valued scores); bucket or "
+            "round the column first, or use grouped_quantiles on a keyed "
+            "subset")
+    counts = merged.to_pandas()
     counts = counts.sort_values(col).reset_index(drop=True)
     total = int(counts["__n"].sum())
     if total == 0:

@@ -74,9 +74,14 @@ def build_bloom(ds, col: str, *, n_bits: int = 1 << 23,
             acc |= np.frombuffer(bm, dtype=np.uint64)
         return pa.table({"bm": pa.array([acc.tobytes()], pa.large_binary())})
 
+    # two-level tree reduce: at 10^5 input blocks a direct repartition(1)
+    # would funnel 10^5 × n_bits/8 bytes through ONE node; the fan-in stage
+    # cuts that to ≤32 bitmaps before the final OR
     rows = (
         ds.map_batches(block_bitmap, batch_format="pyarrow")
-        .repartition(1)  # sketch-sized rows (one per block), not data
+        .repartition(32)
+        .map_batches(or_reduce, batch_format="pyarrow")
+        .repartition(1)  # ≤32 sketch-sized rows
         .map_batches(or_reduce, batch_format="pyarrow")
         .take(2)
     )

@@ -235,3 +235,39 @@ def test_debug_artifacts_written(tmp_path, ray_session):
     assert "status=ok" in by_key["boilerplate"]
     assert "   0| The Actual Headline" in by_key["boilerplate"]
     assert "status=failed_parse" in by_key["pdf-broken"]
+
+
+def test_ingest_capture_dir_feeds_extraction(ray_session, tmp_path):
+    """S6 analog: a raw HTML capture tree ingests into the canonical pages
+    schema and flows through the real extraction pipeline."""
+    import datetime
+
+    from xhs_ocr_ray.pipelines.extract_pages import extract_dataset
+    from xhs_ocr_ray.profiles import default_library
+    from xhs_ocr_ray.sources.capture import ingest_capture_dir
+
+    site = tmp_path / "cap" / "news.example.com"
+    (site / "a").mkdir(parents=True)
+    (site / "a" / "story.html").write_text(
+        "<html><body><article><p>Hello capture world, this is the main "
+        "story body with enough words to win scoring.</p></article>"
+        "<div class='nav'>menu menu</div></body></html>")
+    (site / "index.html").write_text(
+        "<html><body><main><p>Front page body text, long enough to be "
+        "selected as content.</p></main></body></html>")
+
+    ds = ingest_capture_dir(
+        str(tmp_path / "cap"),
+        warc_ts=datetime.datetime(2024, 1, 7, tzinfo=datetime.timezone.utc))
+    rows = ds.to_pandas().sort_values("url").reset_index(drop=True)
+    assert rows.url.tolist() == [
+        "https://news.example.com/", "https://news.example.com/a/story"]
+    assert rows.warc_ts.dt.year.tolist() == [2024, 2024]
+    assert all(h.startswith(b"<html>") for h in rows.html)
+
+    out = (extract_dataset(ds, library=default_library(),
+                           concurrency=(1, 2), batch_size=8)
+           .to_pandas().sort_values("url").reset_index(drop=True))
+    assert (out.status == "ok").all()
+    assert "Hello capture world" in out.extracted_text[1]
+    assert "menu" not in out.extracted_text[1]  # boilerplate pruned

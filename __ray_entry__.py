@@ -1314,6 +1314,44 @@ def _q_csv_source(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_warc_source(sf_dir: str):
+    """Common-Crawl-style ingestion: the documents table re-encoded as a
+    per-record-gzipped WARC file, read back through the WARC source —
+    (url, body text) must round-trip exactly."""
+    import hashlib
+    import os as _os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from xhs_ocr_ray.sources.warc import encode_warc, read_warc_pages
+
+    cache = "/tmp/xhs_jsonl_cache"
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    path = _os.path.join(cache, f"docs_{tag}_v1.warc.gz")
+    if not _os.path.exists(path):
+        _os.makedirs(cache, exist_ok=True)
+        t = pq.read_table(_os.path.join(sf_dir, "documents.parquet"),
+                          columns=["doc_id", "text"])
+        recs = [
+            (f"https://warc.example/{did}", "2024-01-05T00:00:00Z",
+             (txt or "").encode("utf-8"))
+            for did, txt in zip(t.column("doc_id").to_pylist(),
+                                t.column("text").to_pylist())
+        ]
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(encode_warc(recs))
+        _os.replace(tmp, path)
+
+    return read_warc_pages(path).map_batches(
+        lambda b: pa.table({
+            "url": b.column("url"),
+            "text": b.column("html").cast(pa.string()),
+        }),
+        batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "window_filter": _q_window_filter,
@@ -1353,6 +1391,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "regex_extract": _q_regex_extract,
         "curation_pipeline": _q_curation_pipeline,
         "csv_source": _q_csv_source,
+        "warc_source": _q_warc_source,
         "asof_join": _q_asof_join,
         "range_join": _q_range_join,
         "shuffle_join": _q_shuffle_join,
@@ -1889,6 +1928,10 @@ def oracle_sql() -> dict[str, str]:
         "csv_source": """
             SELECT event_id, user_id, event_type FROM events
             WHERE event_id % 11 <> 0
+        """,
+        "warc_source": """
+            SELECT 'https://warc.example/' || doc_id AS url, text
+            FROM documents
         """,
         "curation_pipeline": """
             WITH kept AS (

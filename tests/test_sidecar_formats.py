@@ -218,3 +218,30 @@ def test_read_csv_tolerant(ray_session, tmp_path):
     assert out.status.tolist() == ["ok", "ok", "invalid", "invalid", "invalid"]
     assert out.name.tolist()[:2] == ["a", "quoted, name"]
     assert out.n.dropna().astype(int).tolist() == [5]
+
+
+def test_read_warc_pages(ray_session, tmp_path):
+    from xhs_ocr_ray.sources.warc import (encode_warc, read_warc_pages,
+                                          _parse_warc)
+
+    recs = [
+        ("https://a.example/x", "2024-01-05T00:00:00Z", b"<html>A</html>"),
+        ("https://b.example/y", "2024-02-06T12:30:00Z", "<p>中文</p>".encode()),
+    ]
+    plain = tmp_path / "c.warc"
+    plain.write_bytes(encode_warc(recs, per_record_gzip=False))
+    gz = tmp_path / "c.warc.gz"
+    gz.write_bytes(encode_warc(recs, per_record_gzip=True))
+    for p in (plain, gz):
+        out = read_warc_pages(str(p)).to_pandas().sort_values("url") \
+            .reset_index(drop=True)
+        assert out.url.tolist() == ["https://a.example/x", "https://b.example/y"]
+        assert out.html.tolist() == [r[2] for r in recs]
+        assert out.warc_ts.dt.month.tolist() == [1, 2]
+        assert (out.text == "").all() and (out.lang == "").all()
+    # non-response records skipped; damaged tail tolerated
+    data = (b"WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 2\r\n\r\nok"
+            b"\r\n\r\n") + encode_warc(recs[:1], per_record_gzip=False) \
+        + b"GARBAGE TRAILING BYTES"
+    rows = list(_parse_warc(data))
+    assert [r[0] for r in rows] == ["https://a.example/x"]

@@ -271,3 +271,31 @@ def test_ingest_capture_dir_feeds_extraction(ray_session, tmp_path):
     assert (out.status == "ok").all()
     assert "Hello capture world" in out.extracted_text[1]
     assert "menu" not in out.extracted_text[1]  # boilerplate pruned
+
+
+def test_run_cli_warc_input_resumes(ray_session, tmp_path):
+    """--input-format warc: WARC segments ingest once (fingerprinted),
+    bucketize + extract run, and a re-run skips every group."""
+    from xhs_ocr_ray.run import main
+    from xhs_ocr_ray.sources.warc import encode_warc
+
+    html = (b"<html><body><article><p>Warc ingestion body text long "
+            b"enough to score as main content here.</p></article>"
+            b"</body></html>")
+    indir = tmp_path / "in"
+    indir.mkdir()
+    (indir / "seg0.warc.gz").write_bytes(encode_warc([
+        (f"https://w.example/{i}", "2024-01-05T00:00:00Z", html)
+        for i in range(20)
+    ]))
+    argv = ["--input", str(indir), "--input-format", "warc",
+            "--staged", str(tmp_path / "staged"),
+            "--out", str(tmp_path / "out"), "--num-buckets", "2",
+            "--concurrency", "2"]
+    assert main(argv) == 0
+    import glob
+    import pyarrow.parquet as pq
+
+    files = glob.glob(str(tmp_path / "out" / "data" / "*" / "*.parquet"))
+    assert sum(pq.read_metadata(f).num_rows for f in files) == 20
+    assert main(argv) == 0  # resume: ingest + all groups skipped

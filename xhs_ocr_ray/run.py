@@ -23,7 +23,14 @@ import sys
 
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(description="xhs_ocr_ray extraction pipeline")
-    p.add_argument("--input", required=True, help="raw pages parquet dir")
+    p.add_argument("--input", required=True, help="raw pages input dir/file")
+    p.add_argument("--input-format", choices=("parquet", "warc", "capture"),
+                   default="parquet",
+                   help="parquet = canonical pages table; warc = "
+                        ".warc/.warc.gz files (Common-Crawl wire format); "
+                        "capture = directory tree of raw HTML files")
+    p.add_argument("--capture-ts", default="2024-01-01T00:00:00+00:00",
+                   help="warc_ts stamped on capture-format rows (ISO)")
     p.add_argument("--staged", required=True, help="url-hash bucketized staging dir")
     p.add_argument("--out", required=True, help="output dir (data/lineage/_manifests)")
     p.add_argument("--since", default=None, help="ISO timestamp window filter")
@@ -54,8 +61,41 @@ def main(argv: list[str] | None = None) -> int:
     since_ts = (
         datetime.datetime.fromisoformat(args.since) if args.since else None
     )
+    def ingest() -> str:
+        """Non-parquet inputs are converted ONCE into a canonical pages
+        parquet dir under the staging area (fingerprinted + atomic, so
+        re-runs skip it), then flow through the identical pipeline."""
+        if args.input_format == "parquet":
+            return args.input
+        import glob as _glob
+        import os
+
+        from xhs_ocr_ray.state import checkpoint as ckpt
+
+        files = sorted(
+            f for f in _glob.glob(os.path.join(args.input, "**", "*"),
+                                  recursive=True) if os.path.isfile(f)
+        ) or [args.input]
+        fp = ckpt.input_fingerprint(files) + f":{args.input_format}"
+        ingest_dir = os.path.join(args.staged, "_ingested")
+        if not ckpt.is_complete(args.staged, "_ingest", fp):
+            if args.input_format == "warc":
+                from xhs_ocr_ray.sources.warc import read_warc_pages
+
+                ds = read_warc_pages(args.input)
+            else:
+                from xhs_ocr_ray.sources.capture import ingest_capture_dir
+
+                ds = ingest_capture_dir(args.input,
+                                        warc_ts=args.capture_ts)
+            with ckpt.atomic_output_dir(ingest_dir) as tmp:
+                ds.write_parquet(tmp)
+            ckpt.commit_manifest(args.staged, "_ingest",
+                                 {"fingerprint": fp, "status": "ok"})
+        return ingest_dir
+
     def one_run(_tick: float | None = None) -> dict:
-        bucketize(args.input, args.staged, num_buckets=args.num_buckets)
+        bucketize(ingest(), args.staged, num_buckets=args.num_buckets)
         res = run_extract(
             args.staged,
             args.out,

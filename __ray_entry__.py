@@ -559,6 +559,41 @@ def _q_token_topk(sf_dir: str):
     )
 
 
+def _q_bigram_topk(sf_dir: str):
+    """Global top-10 adjacent token pairs — the corpus n-gram statistic;
+    same pre-aggregation idiom as token_topk (partial counts per block →
+    tiny groupby-sum → sort+limit)."""
+    import pandas as pd
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            toks = [w for w in (t or "").split(" ") if w]
+            c.update(zip(toks, toks[1:]))
+        if c:
+            a, b = zip(*c.keys())
+        else:
+            a = b = ()
+        return arrow_from_pandas(pd.DataFrame({
+            "tok_a": pd.Series(a, dtype="string").astype(object),
+            "tok_b": pd.Series(b, dtype="string").astype(object),
+            "n": pd.Series(list(c.values()), dtype="int64"),
+        }))
+
+    return (
+        _read(sf_dir, "documents", columns=["text"])
+        .map_batches(partial_counts, batch_format="pyarrow")
+        .groupby(["tok_a", "tok_b"])
+        .aggregate(Sum("n", alias_name="n_total"))
+        .sort(["n_total", "tok_a", "tok_b"], descending=[True, False, False])
+        .limit(10)
+    )
+
+
 def _derived_dup_corpus(sf_dir: str, table: str, id_col: str, val_col: str,
                         *, salt: bool):
     """Derived corpus with known exact-duplicate clusters: row i carries the
@@ -1392,6 +1427,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_pipeline": _q_curation_pipeline,
         "csv_source": _q_csv_source,
         "warc_source": _q_warc_source,
+        "bigram_topk": _q_bigram_topk,
         "asof_join": _q_asof_join,
         "range_join": _q_range_join,
         "shuffle_join": _q_shuffle_join,
@@ -1932,6 +1968,20 @@ def oracle_sql() -> dict[str, str]:
         "warc_source": """
             SELECT 'https://warc.example/' || doc_id AS url, text
             FROM documents
+        """,
+        "bigram_topk": """
+            WITH tok AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS lst
+              FROM documents
+            ), bgr AS (
+              SELECT lst[i] AS tok_a, lst[i+1] AS tok_b
+              FROM tok, UNNEST(range(1, len(lst))) AS u(i)
+            )
+            SELECT tok_a, tok_b, CAST(count(*) AS BIGINT) AS n_total
+            FROM bgr GROUP BY tok_a, tok_b
+            ORDER BY n_total DESC, tok_a, tok_b
+            LIMIT 10
         """,
         "curation_pipeline": """
             WITH kept AS (

@@ -578,9 +578,12 @@ def _q_bigram_topk(sf_dir: str):
             a, b = zip(*c.keys())
         else:
             a = b = ()
+        # dtype="string" (NOT object) so an EMPTY block still carries a
+        # string schema — a bare object column degrades to arrow `null`
+        # and poisons the groupby's schema unification
         return arrow_from_pandas(pd.DataFrame({
-            "tok_a": pd.Series(a, dtype="string").astype(object),
-            "tok_b": pd.Series(b, dtype="string").astype(object),
+            "tok_a": pd.Series(a, dtype="string"),
+            "tok_b": pd.Series(b, dtype="string"),
             "n": pd.Series(list(c.values()), dtype="int64"),
         }))
 

@@ -19,6 +19,18 @@ _URGENT = "1-URGENT"
 _WINDOW_CUT = "2024-01-20 00:00:00"
 
 
+def _source_tag(sf_dir: str, table: str) -> str:
+    """Cache tag for /tmp fixture derivations: path + source parquet size
+    and mtime, so a regenerated testdata set can never serve a stale
+    fixture from a previous round."""
+    import hashlib
+
+    p = os.path.join(sf_dir, f"{table}.parquet")
+    st = os.stat(p)
+    key = f"{p}:{st.st_size}:{int(st.st_mtime)}"
+    return hashlib.md5(key.encode()).hexdigest()[:12]
+
+
 def _read(sf_dir: str, name: str, **kwargs):
     from xhs_ocr_ray.functions.arrow import read_parquet_clean
 
@@ -1258,7 +1270,7 @@ def _q_jsonl_source(sf_dir: str):
     from xhs_ocr_ray.sources.jsonl import read_jsonl_tolerant
 
     cache = "/tmp/xhs_jsonl_cache"
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    tag = _source_tag(sf_dir, "events")
     path = _os.path.join(cache, f"events_{tag}_v1.jsonl")
     if not _os.path.exists(path):
         # fixture derivation (bounded, like _derived_dup_corpus): re-encode
@@ -1324,7 +1336,7 @@ def _q_csv_source(sf_dir: str):
     from xhs_ocr_ray.sources.jsonl import read_csv_tolerant
 
     cache = "/tmp/xhs_jsonl_cache"
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    tag = _source_tag(sf_dir, "events")
     path = _os.path.join(cache, f"events_{tag}_v1.csv")
     if not _os.path.exists(path):
         _os.makedirs(cache, exist_ok=True)
@@ -1365,7 +1377,7 @@ def _q_warc_source(sf_dir: str):
     from xhs_ocr_ray.sources.warc import encode_warc, read_warc_pages
 
     cache = "/tmp/xhs_jsonl_cache"
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    tag = _source_tag(sf_dir, "documents")
     path = _os.path.join(cache, f"docs_{tag}_v1.warc.gz")
     if not _os.path.exists(path):
         _os.makedirs(cache, exist_ok=True)

@@ -63,3 +63,28 @@ def test_unterminated_script_drops_tail():
     tree = fast_parse_html("<pre>keep<script>var x = '<div>evil</div>'")
     assert "evil" not in tree.text_content()
     assert "keep" in tree.text_content()
+
+
+def test_truncated_tag_no_catastrophic_backtracking():
+    # A crawl page cut mid-tag (unquoted run, then a lone quote, never a
+    # closing >) must tokenize in linear time. The naive nested-quantifier
+    # attr regex took >50 s on 28 chars; the unrolled loop is microseconds.
+    import time
+
+    bad = "<p>before</p><a " + "x" * 2000 + '"' + "y" * 5000
+    t0 = time.perf_counter()
+    tree = fast_parse_html(bad)
+    assert time.perf_counter() - t0 < 1.0
+    assert "before" in tree.text_content()
+    # and it still agrees with the stdlib parser on the same input
+    assert canon(tree) == canon(parse_html(bad))
+
+
+def test_truncated_tag_variants_match_stdlib():
+    for doc in [
+        '<a href="unclosed',            # quote never closes
+        "<a href='unclosed",
+        '<div ' + "z" * 64,             # plain run, no > ever
+        '<a b="c" d' + "e" * 64 + "'",  # closed quote then lone quote
+    ]:
+        assert canon(fast_parse_html(doc)) == canon(parse_html(doc)), doc

@@ -150,6 +150,11 @@ def _lzw_decode_gif(data: bytes, mcs: int, n_pixels: int) -> bytearray:
         if code == eoi:
             break
         if prev is None:
+            if code >= len(table):
+                # corrupt first-code-after-CLEAR: keep the codec's documented
+                # ValueError contract (an IndexError here would escape the
+                # row-tolerance wrappers and fail the whole Ray task)
+                raise ValueError(f"GIF LZW: code {code} beyond table")
             entry = table[code]
         elif code < len(table):
             entry = table[code]

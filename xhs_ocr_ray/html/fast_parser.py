@@ -30,10 +30,14 @@ _TOKEN = re.compile(
     r"|<![^>]*>"                              # doctype / other decls
     r"|<\?[^>]*>"                             # processing instruction
     r"|</\s*([a-zA-Z][-\w.:]*)[^>]*>"          # end tag      (group 1)
-    # start tag (2,3,4) — the attr body gulps RUNS of unquoted chars
-    # ([^'\">]+ first): same language as char-at-a-time alternation but
-    # ~one regex iteration per attr instead of per character
-    r"|<([a-zA-Z][-\w.:]*)((?:[^'\">]+|\"[^\"]*\"|'[^']*')*)(/?)>",
+    # start tag (2,3,4) — the attr body gulps RUNS of unquoted chars via an
+    # UNROLLED loop, normal*(special normal*)*: iteration boundaries are
+    # unambiguous (every special starts with a quote, normal runs can't
+    # contain one), so a truncated tag with no closing > fails in linear
+    # time. The naive (?:[^'\">]+|\"...\"|'...')* form nests + inside * and
+    # backtracks exponentially on exactly that input (a hang, unlike an
+    # exception, is never quarantined by the row-tolerance wrapper).
+    r"|<([a-zA-Z][-\w.:]*)([^'\">]*(?:(?:\"[^\"]*\"|'[^']*')[^'\">]*)*)(/?)>",
     re.DOTALL,
 )
 _ATTR = re.compile(

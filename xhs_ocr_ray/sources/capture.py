@@ -35,9 +35,32 @@ def _url_of(rel_path: str) -> str:
     tail = parts[1] if len(parts) > 1 else ""
     if tail.endswith(".html"):
         tail = tail[: -len(".html")]
-    if tail.endswith("index"):
+    # Only a path COMPONENT exactly named "index" maps to the directory
+    # url — a stem that merely ends in "index" (myindex.html, reindex.html)
+    # must keep its name, or distinct pages collide on url and the
+    # flagship's first-wins exact dedup silently drops one.
+    if tail == "index" or tail.endswith("/index"):
         tail = tail[: -len("index")]
     return f"https://{host}/{tail}" if tail else f"https://{host}/"
+
+
+def _ts_us_of(warc_ts) -> int:
+    """Capture time (datetime / ISO string / int µs) → µs since epoch.
+
+    A NAIVE datetime or ISO string is UTC by convention — ``.timestamp()``
+    on a naive datetime would apply the host's LOCAL zone, so the same
+    ``--capture-ts`` would yield different ``warc_ts`` values on different
+    hosts, breaking the idempotent-re-run contract.
+    """
+    import datetime as _dt
+
+    if isinstance(warc_ts, str):
+        warc_ts = _dt.datetime.fromisoformat(warc_ts)
+    if isinstance(warc_ts, _dt.datetime):
+        if warc_ts.tzinfo is None:
+            warc_ts = warc_ts.replace(tzinfo=_dt.timezone.utc)
+        return int(warc_ts.timestamp() * 1_000_000)
+    return int(warc_ts)
 
 
 def ingest_capture_dir(capture_dir: str, *, warc_ts,
@@ -48,16 +71,12 @@ def ingest_capture_dir(capture_dir: str, *, warc_ts,
     every row — one capture run, one timestamp, re-runs idempotent.
     Returns the pages Dataset either way.
     """
-    import datetime as _dt
     import os
 
     import ray.data
 
     root = os.path.abspath(capture_dir)
-    if isinstance(warc_ts, str):
-        warc_ts = _dt.datetime.fromisoformat(warc_ts)
-    ts_us = int(warc_ts.timestamp() * 1_000_000) if isinstance(
-        warc_ts, _dt.datetime) else int(warc_ts)
+    ts_us = _ts_us_of(warc_ts)
 
     def project(batch: pa.Table) -> pa.Table:
         paths = batch.column("path").to_pylist()

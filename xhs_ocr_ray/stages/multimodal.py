@@ -51,6 +51,13 @@ class ImageDecode:
     other formats raise ``NotImplementedError`` unless ``fake=True``
     substitutes the deterministic stand-in (so downstream stages are
     exercised even for formats this container cannot decode).
+
+    Corrupt payloads (a codec ``ValueError``) are quarantined ROW-LOCALLY,
+    mirroring the PDF path's ``status='failed_parse'`` contract
+    (engine.py): the row is kept with ``status='failed_decode'``, null
+    feature/mean and zero dims, instead of failing the whole Ray task.
+    ``NotImplementedError`` (unsupported format, not corrupt data) still
+    raises — that is a configuration error, not a data error.
     """
 
     def __init__(self, fake: bool = False, thumb: int = 8):
@@ -82,12 +89,22 @@ class ImageDecode:
         payloads = batch.column("payload").to_pylist()
         ws = batch.column("width").to_pylist()
         hs = batch.column("height").to_pylist()
-        feats: list[list[float]] = []
+        feats: list[list[float] | None] = []
         dec_w: list[int] = []
         dec_h: list[int] = []
-        means: list[float] = []
+        means: list[float | None] = []
+        statuses: list[str] = []
         for p, w, h in zip(payloads, ws, hs):
-            px = self._decode(p or b"", w or 0, h or 0)
+            try:
+                px = self._decode(p or b"", w or 0, h or 0)
+            except ValueError:
+                # corrupt payload — quarantine row-locally (see class doc)
+                feats.append(None)
+                dec_w.append(0)
+                dec_h.append(0)
+                means.append(None)
+                statuses.append("failed_decode")
+                continue
             dec_h.append(int(px.shape[0]))
             dec_w.append(int(px.shape[1]))
             # exact: integer pixel sum over all channels / one IEEE division
@@ -103,6 +120,7 @@ class ImageDecode:
                 for j in range(self.thumb)
             ]
             feats.append(feat)
+            statuses.append("ok")
         return pa.table(
             {
                 "media_id": pa.array(ids, pa.int64()),
@@ -110,6 +128,7 @@ class ImageDecode:
                 "dec_width": pa.array(dec_w, pa.int32()),
                 "dec_height": pa.array(dec_h, pa.int32()),
                 "mean_val": pa.array(means, pa.float64()),
+                "status": pa.array(statuses, pa.string()),
             }
         )
 

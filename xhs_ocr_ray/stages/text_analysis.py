@@ -226,6 +226,11 @@ def tfidf_topk(ds, *, text_col: str = "text", id_col: str = "doc_id",
     from xhs_ocr_ray.stages.dedup import _bucket_attach
 
     if n_docs is None:
+        # Materialize the NARROW (id, text) projection once, then count()
+        # is metadata-only and tokenization re-reads the same blocks — a
+        # bare ds.count() would execute the whole upstream a second time
+        # (double cost; divergence if the upstream is nondeterministic).
+        ds = ds.select_columns([id_col, text_col]).materialize()
         n_docs = ds.count()
     n = float(n_docs)
 

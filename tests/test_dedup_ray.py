@@ -241,6 +241,79 @@ def test_incremental_exact_dedup_three_runs(ray_session, tmp_path):
     ).to_pandas().sort_values("doc_id")
     assert got3.doc_id.tolist() == [23]
 
-    # index layout: one run_<k> dir per call, never rewritten
+    # index layout: one run_<k> dir per call, never rewritten, each
+    # hive-partitioned by key bucket with a bucket-count meta file
     runs = sorted(d for d in os.listdir(idx) if d.startswith("run_"))
     assert runs == ["run_0", "run_1", "run_2"]
+    assert os.path.exists(os.path.join(idx, "_meta.json"))
+    import glob
+
+    kb_files = glob.glob(os.path.join(idx, "run_0", "kb=*", "*.parquet"))
+    assert kb_files, "run dirs must be partitioned as kb=<bucket>/"
+    flat = glob.glob(os.path.join(idx, "run_0", "*.parquet"))
+    assert not flat, "no flat (unpartitioned) index files"
+
+
+def test_incremental_dedup_reads_only_matching_index_partitions(
+        ray_session, tmp_path):
+    """The cumulative index must be read per-bucket, not whole: corrupt
+    every OTHER bucket's index files — a run whose new rows all hash to one
+    bucket must still succeed and dedup correctly (it would crash on the
+    corrupted parquet if it touched any other partition)."""
+    import glob
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from xhs_ocr_ray.stages.bucketing import _add_key_bucket
+    from xhs_ocr_ray.stages.dedup import incremental_exact_dedup
+
+    idx = str(tmp_path / "fpidx")
+    nb = 8
+    fps = [f"fp-{i}" for i in range(64)]
+
+    def ds_of(rows):
+        ids, vals = zip(*rows)
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "fp": pa.array(vals, pa.string()),
+        })).repartition(2)
+
+    # run 1 indexes 64 fps spread over the 8 buckets
+    incremental_exact_dedup(ds_of(list(enumerate(fps))), idx,
+                            fp_col="fp", id_col="doc_id", num_buckets=nb)
+
+    # replicate the shuffle's bucket assignment to pick a target bucket
+    kb = _add_key_bucket(pa.table({"fp": pa.array(fps, pa.string())}),
+                         ["fp"], nb).column("__kb").to_pylist()
+    by_bucket: dict[int, list[str]] = {}
+    for f, b in zip(fps, kb):
+        by_bucket.setdefault(b, []).append(f)
+    target = max(by_bucket, key=lambda b: len(by_bucket[b]))
+    assert len(by_bucket) > 1  # corpus really spans multiple buckets
+
+    # corrupt every index file OUTSIDE the target bucket
+    n_corrupted = 0
+    for f in glob.glob(os.path.join(idx, "run_*", "kb=*", "*.parquet")):
+        if os.path.basename(os.path.dirname(f)) != f"kb={target}":
+            with open(f, "wb") as fh:
+                fh.write(b"NOT A PARQUET FILE")
+            n_corrupted += 1
+    assert n_corrupted > 0
+
+    # run 2: rows all hashing to the target bucket — one already-indexed
+    # dup, one fresh fp (crafted to land in the same bucket)
+    dup = by_bucket[target][0]
+    fresh = next(
+        c for c in (f"new-{i}" for i in range(10_000))
+        if _add_key_bucket(pa.table({"fp": pa.array([c], pa.string())}),
+                           ["fp"], nb).column("__kb")[0].as_py() == target
+    )
+    got = incremental_exact_dedup(
+        ds_of([(100, dup), (101, fresh)]), idx,
+        fp_col="fp", id_col="doc_id", num_buckets=nb,
+    ).to_pandas().sort_values("doc_id")
+    assert got.doc_id.tolist() == [101]
+    assert isinstance(got, pd.DataFrame)

@@ -686,6 +686,16 @@ def embedding_dedup(ds, vec_col: str, id_col: str, *, threshold: float = 0.95,
 # Cross-run incremental dedup against a persisted fingerprint index
 # --------------------------------------------------------------------------
 
+def _bucket_index_files(index_dir: str, bucket: int) -> list[str]:
+    """All persisted fingerprint files for ONE key bucket across every
+    completed run — the per-task read set (never the whole index)."""
+    import glob as _glob
+    import os
+
+    return sorted(_glob.glob(
+        os.path.join(index_dir, "run_*", f"kb={bucket}", "*.parquet")))
+
+
 def incremental_exact_dedup(new_ds, index_dir: str, *, fp_col: str,
                             id_col: str, num_buckets: int | None = None):
     """Dedup a NEW batch of rows against a persisted fingerprint index —
@@ -695,87 +705,100 @@ def incremental_exact_dedup(new_ds, index_dir: str, *, fp_col: str,
     (b) all-but-the-first duplicate within itself (first = smallest
     ``id_col`` per fingerprint).
 
-    Plan: ONE bucketed exchange on ``fp_col`` — the index side ships only
-    its narrow (fp) column padded with typed sentinels to the new-side
-    schema (``stages/joins._pad_like``; sentinels are never read), the new
-    side ships full rows once. Per bucket: vectorized first-wins
-    ``drop_duplicates`` + ``isin`` anti-filter — no per-key dispatch, no
-    driver-side set.
+    Scale design: the index is persisted HIVE-PARTITIONED BY KEY BUCKET —
+    ``index_dir/run_<k>/kb=<b>/*.parquet`` — under a bucket count fixed at
+    bootstrap (``_meta.json``; it must never change across runs or old rows
+    land in the wrong partition). Each run shuffles only the NEW batch by
+    ``fp_col`` bucket; every bucket's group task then reads ONLY its own
+    ``run_*/kb=<b>/`` index files. The cumulative index is never shuffled
+    and never read outside its bucket, so per-run cost scales with the new
+    batch plus the touched index partitions — at 100-TB daily-crawl shape
+    the index dwarfs the batch, and the previous design (union + re-bucket
+    the whole index per run) paid an index-sized exchange every run.
 
-    Surviving rows' fingerprints are appended to the index as a NEW
-    ``run_<k>/`` parquet subdir (atomic tmp→rename; completed runs are
-    never rewritten), so a re-run after a crash either sees the completed
-    run dir or re-creates it — the same idempotent-append contract as the
-    pipeline checkpoints. Returns the surviving rows as a MATERIALIZED
-    dataset (bounded by the new batch, not the corpus: the index append
-    must happen exactly once, so the pipeline is forced here).
+    Per bucket: vectorized first-wins ``drop_duplicates`` + ``isin``
+    anti-filter — no per-key dispatch, no driver-side set. Survivors'
+    fingerprints are written inside the same task to a staging dir, which
+    the driver atomically renames to a NEW ``run_<k>/`` once ALL buckets
+    completed (materialize = barrier). Completed runs are never rewritten;
+    a re-run after a crash either sees the completed run dir or re-creates
+    it — the same idempotent-append contract as the pipeline checkpoints.
+    (A retried task writes an extra staging file; duplicate fps in the
+    index are harmless — the index has set semantics.)
+
+    Returns the surviving rows as a MATERIALIZED dataset (bounded by the
+    new batch, not the corpus: the index append must happen exactly once,
+    so the pipeline is forced here).
 
     On the very first run (``index_dir`` absent/empty) this degrades to
-    plain within-batch ``exact_dedup`` + index bootstrap.
+    plain within-batch ``exact_dedup`` + index bootstrap. Pre-bucketed
+    indexes are required: a legacy flat ``run_*/ *.parquet`` layout (no
+    ``_meta.json``) is rejected loudly rather than silently re-read whole.
     """
     import glob as _glob
+    import json
     import os
     import shutil
     import uuid
 
     import pyarrow as pa
+    import pyarrow.parquet as pq
 
-    from xhs_ocr_ray.functions.arrow import read_parquet_clean
-    from xhs_ocr_ray.stages.joins import _pad_like
-
-    nb = num_buckets or default_num_buckets()
-    fields = []
-    sch = new_ds.schema()
-    for n, t in zip(sch.names, sch.types):
-        fields.append(pa.field(n, t))
-    side_col = "__side"
-
-    def tag_new(batch: pa.Table) -> pa.Table:
-        return batch.append_column(
-            side_col, pa.array(np.ones(batch.num_rows, dtype=np.int8)))
-
-    def widen_old(batch: pa.Table) -> pa.Table:
-        cols = {}
-        for f in fields:
-            cols[f.name] = (batch.column(fp_col) if f.name == fp_col
-                            else _pad_like(f, batch.num_rows))
-        t = pa.table(cols)
-        return t.append_column(
-            side_col, pa.array(np.zeros(batch.num_rows, dtype=np.int8)))
-
-    index_files = sorted(_glob.glob(os.path.join(index_dir, "run_*", "*.parquet")))
-    tagged_new = new_ds.map_batches(tag_new, batch_format="pyarrow")
-    if index_files:
-        old = read_parquet_clean(index_files, columns=[fp_col]) \
-            .map_batches(widen_old, batch_format="pyarrow")
-        both = tagged_new.union(old)
+    meta_path = os.path.join(index_dir, "_meta.json")
+    existing_runs = _glob.glob(os.path.join(index_dir, "run_*"))
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            nb = int(json.load(f)["num_buckets"])
+    elif existing_runs:
+        raise ValueError(
+            f"fingerprint index at {index_dir} has run dirs but no "
+            "_meta.json — not a bucket-partitioned index; rebuild it "
+            "(legacy flat indexes are not supported)")
     else:
-        both = tagged_new
+        nb = num_buckets or default_num_buckets()
+        os.makedirs(index_dir, exist_ok=True)
+        tmp_meta = meta_path + f".tmp{uuid.uuid4().hex}"
+        with open(tmp_meta, "w") as f:
+            json.dump({"num_buckets": nb, "fp_col": fp_col}, f)
+        os.replace(tmp_meta, meta_path)
+
+    staging = os.path.join(index_dir, f"_staging_{uuid.uuid4().hex}")
 
     def bucket_anti(chunk: pd.DataFrame) -> pd.DataFrame:
-        new_rows = chunk[chunk[side_col] == 1]
-        seen = chunk.loc[chunk[side_col] == 0, fp_col]
-        keep = (new_rows.sort_values([id_col], kind="mergesort")
+        if not len(chunk):
+            return chunk.drop(columns=["__kb"])
+        b = int(chunk["__kb"].iloc[0])
+        keep = (chunk.sort_values([id_col], kind="mergesort")
                 .drop_duplicates(subset=[fp_col], keep="first"))
-        if len(seen):
-            keep = keep[~keep[fp_col].isin(set(seen))]
-        return keep.drop(columns=["__kb", side_col])
+        files = _bucket_index_files(index_dir, b)
+        if files:
+            seen: set = set()
+            for fpath in files:
+                seen.update(
+                    pq.read_table(fpath, columns=[fp_col])
+                    .column(fp_col).to_pylist())
+            keep = keep[~keep[fp_col].isin(seen)]
+        keep = keep.drop(columns=["__kb"])
+        if len(keep):
+            kb_dir = os.path.join(staging, f"kb={b}")
+            os.makedirs(kb_dir, exist_ok=True)
+            pq.write_table(
+                pa.table({fp_col: pa.Array.from_pandas(keep[fp_col])}),
+                os.path.join(kb_dir, f"part-{uuid.uuid4().hex}.parquet"))
+        return keep
 
     survivors = (
-        both.map_batches(_add_key_bucket, batch_format="pyarrow",
-                         fn_kwargs={"key_cols": [fp_col], "num_buckets": nb})
+        new_ds.map_batches(_add_key_bucket, batch_format="pyarrow",
+                           fn_kwargs={"key_cols": [fp_col], "num_buckets": nb})
         .groupby("__kb")
         .map_groups(bucket_anti, batch_format="pandas")
     ).materialize()
 
-    runs = [int(os.path.basename(d).split("_")[1])
-            for d in _glob.glob(os.path.join(index_dir, "run_*"))]
+    runs = [int(os.path.basename(d).split("_")[1]) for d in existing_runs]
     next_run = os.path.join(index_dir, f"run_{max(runs, default=-1) + 1}")
-    tmp = os.path.join(index_dir, f"_tmp_{uuid.uuid4().hex}")
-    os.makedirs(index_dir, exist_ok=True)
     try:
-        survivors.select_columns([fp_col]).write_parquet(tmp)
-        os.replace(tmp, next_run)
+        os.makedirs(staging, exist_ok=True)  # zero-survivor runs still append
+        os.replace(staging, next_run)
     finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(staging, ignore_errors=True)
     return survivors

@@ -95,6 +95,48 @@ def test_ivf_index_recall(ray_session):
     assert hits / 40 > 0.5
 
 
+def test_ivf_training_sample_unbiased_on_sorted_corpus(ray_session):
+    """The IVF training sample must be drawn uniformly by id-hash, not
+    first-N: on a corpus SORTED so all of cluster A precedes cluster B, a
+    head sample never sees B and the trained centroids collapse onto A.
+    The hash sample must span both clusters, and so must the centroids."""
+    import ray.data
+
+    from xhs_ocr_ray.stages.similarity import (IvfIndexSearch,
+                                               _uniform_sample_matrix)
+
+    rng = np.random.default_rng(7)
+    dim, half = 8, 128
+    a_center = np.zeros(dim); a_center[0] = 10.0
+    b_center = np.zeros(dim); b_center[1] = 10.0
+    a = a_center + 0.1 * rng.standard_normal((half, dim))
+    b = b_center + 0.1 * rng.standard_normal((half, dim))
+    vecs = np.concatenate([a, b]).astype(np.float32)  # sorted: A then B
+    ds = ray.data.from_items(
+        [{"vec_id": i, "embedding": vecs[i].tolist()}
+         for i in range(2 * half)],
+        override_num_blocks=4,
+    )
+
+    sample = _uniform_sample_matrix(ds, vec_col="embedding",
+                                    id_col="vec_id", sample=32)
+    unit = sample / np.linalg.norm(sample, axis=1, keepdims=True)
+    ua = a_center / np.linalg.norm(a_center)
+    ub = b_center / np.linalg.norm(b_center)
+    n_a = int(((unit @ ua) > 0.9).sum())
+    n_b = int(((unit @ ub) > 0.9).sum())
+    assert n_a + n_b == 32  # every sampled vector sits in one cluster
+    assert n_a >= 4 and n_b >= 4  # head sampling would give n_b == 0
+
+    # end to end: trained centroids cover both clusters (first-N training
+    # with sample <= half would leave max cosine-to-B near cos(A,B) = 0)
+    idx = IvfIndexSearch(ds, n_centroids=4, nprobe=2, sample=32)
+    cents = idx.centroids
+    assert (cents @ ua).max() > 0.9 and (cents @ ub).max() > 0.9
+    got = [i for i, _ in idx.search(vecs[half + 3], k=5)]
+    assert half + 3 in got
+
+
 def test_audio_chunk_windows(ray_session):
     import ray.data
 

@@ -13,6 +13,7 @@ pandas metadata) and restores the early-exit fast path.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -27,6 +28,46 @@ def strip_schema_metadata(batch: pa.Table) -> pa.Table:
     if batch.schema.metadata:
         return batch.replace_schema_metadata(None)
     return batch
+
+
+def list_matrix(col, dtype=np.float32) -> np.ndarray:
+    """``(n, dim)`` matrix of an equal-width ``list<numeric>`` column read
+    from the flattened Arrow values buffer — one C-level ``flatten()`` +
+    ``reshape``, no ``to_pylist()`` per-row Python objects (that round-trip
+    was the ANN-ingest hot spot; the binary-column twin is
+    ``stages.dedup._binary_matrix``).  Ragged or null-bearing columns fall
+    back to the slow path so callers keep their existing error behavior.
+    """
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(arr)
+    if n == 0:
+        return np.empty((0, 0), dtype=dtype)
+    t = arr.type
+    if arr.null_count == 0:
+        if pa.types.is_fixed_size_list(t):
+            flat = arr.flatten().to_numpy(zero_copy_only=False)
+            return flat.reshape(n, t.list_size).astype(dtype, copy=False)
+        if pa.types.is_list(t) or pa.types.is_large_list(t):
+            widths = np.diff(np.asarray(arr.offsets))
+            if (widths == widths[0]).all():
+                flat = arr.flatten().to_numpy(zero_copy_only=False)
+                return flat.reshape(n, int(widths[0])).astype(dtype, copy=False)
+    return np.asarray(arr.to_pylist(), dtype=dtype)
+
+
+def bytes_rows(mat: np.ndarray) -> pa.Array:
+    """``(n, dim)`` numpy matrix → Arrow ``binary`` column, one row per
+    matrix row, built straight from buffers (one ``tobytes()`` for the whole
+    matrix + an arithmetic offsets vector) — no ``[v.tobytes() for v in m]``
+    per-row loop.  The inverse of ``stages.dedup._binary_matrix``; binary
+    beats ``fixed_size_list`` because fixed-length lists get promoted to Ray
+    tensor-extension types that break shuffle block normalization."""
+    n = mat.shape[0]
+    row_nbytes = int(mat.dtype.itemsize * int(np.prod(mat.shape[1:], dtype=np.int64)))
+    values = pa.py_buffer(np.ascontiguousarray(mat).tobytes())
+    offsets = pa.py_buffer(
+        (np.arange(n + 1, dtype=np.int32) * row_nbytes).tobytes())
+    return pa.Array.from_buffers(pa.binary(), n, [None, offsets, values])
 
 
 def read_parquet_clean(paths, **kwargs):

@@ -594,17 +594,17 @@ def embedding_dedup(ds, vec_col: str, id_col: str, *, threshold: float = 0.95,
         """(id, unit) one narrow row per vector; unit = L2-normalized
         float32 BYTES (a fixed-length list column would be promoted to a
         tensor-extension type that breaks shuffle block normalization)."""
+        from xhs_ocr_ray.functions.arrow import bytes_rows, list_matrix
+
         ids = batch.column(id_col).combine_chunks()
-        vecs = np.array(batch.column(vec_col).to_pylist(), dtype=np.float32)
-        if vecs.ndim != 2 or vecs.shape[0] == 0:
+        vecs = list_matrix(batch.column(vec_col), dtype=np.float32)
+        if vecs.ndim != 2 or vecs.shape[0] == 0 or vecs.shape[1] == 0:
             return pa.table({id_col: ids.take(pa.array([], pa.int64())),
                              "unit": pa.array([], pa.binary())})
         norms = np.linalg.norm(vecs, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         unit = (vecs / norms).astype(np.float32)
-        return pa.table(
-            {id_col: ids, "unit": pa.array([v.tobytes() for v in unit], pa.binary())}
-        )
+        return pa.table({id_col: ids, "unit": bytes_rows(unit)})
 
     # The input is consumed exactly ONCE: the normalized vectors are
     # materialized (dim×4 B/doc) and reused by the band explode and the

@@ -57,6 +57,133 @@ class ProfileLibrary:
             return got
         return self.profiles.get("default", [DEFAULT_PROFILE])
 
+    # -- declarative on-disk form (reference: config.ini [tags]/[fields],
+    #    parsed at core/run.py:434-438 / db/data_sync.py:15-19 — the
+    #    extraction schema is DATA; adding a doc_class must not need a
+    #    code change) ------------------------------------------------------
+
+    def to_obj(self) -> dict:
+        """JSON-able form; field order is the positional-binding contract
+        (M11), preserved via the ordered ``fields`` mapping."""
+        out = []
+        for _, profs in sorted(self.profiles.items()):
+            for p in profs:
+                d: dict = {"doc_class": p.doc_class, "profile_id": p.profile_id}
+                if p.keep_selectors:
+                    d["keep_selectors"] = list(p.keep_selectors)
+                if p.field_names:
+                    d["fields"] = dict(zip(p.field_names, p.field_regexes))
+                for k, dflt in (("normalize", False), ("strip_cjk", False),
+                                ("pair_fields", 0),
+                                ("layout_parser", "multi_para")):
+                    v = getattr(p, k)
+                    if v != dflt:
+                        d[k] = v
+                out.append(d)
+        return {"profiles": out}
+
+    @classmethod
+    def from_obj(cls, obj: dict) -> "ProfileLibrary":
+        lib = cls()
+        for d in obj.get("profiles", []):
+            fields_map = d.get("fields", {})
+            lib.add(Profile(
+                doc_class=d["doc_class"],
+                profile_id=int(d["profile_id"]),
+                keep_selectors=tuple(d.get("keep_selectors", ())),
+                field_names=tuple(fields_map.keys()),
+                field_regexes=tuple(fields_map.values()),
+                normalize=bool(d.get("normalize", False)),
+                strip_cjk=bool(d.get("strip_cjk", False)),
+                pair_fields=int(d.get("pair_fields", 0)),
+                layout_parser=str(d.get("layout_parser", "multi_para")),
+            ))
+        return lib
+
+    def to_config(self, path: str) -> None:
+        """Write the library as JSON (the canonical on-disk form)."""
+        with open(path, "w", encoding="utf-8") as f:
+            json.dump(self.to_obj(), f, ensure_ascii=False, indent=2)
+            f.write("\n")
+
+    @classmethod
+    def from_config(cls, path: str) -> "ProfileLibrary":
+        """Load a profile library from a JSON or INI file (dispatch on
+        extension; anything not ``.ini``/``.cfg``/``.conf`` parses as JSON).
+
+        INI shape mirrors the reference's ``config.ini``: one
+        ``[profile:<doc_class>:<profile_id>]`` section per profile, with
+        ``field.<name> = <regex>`` entries bound positionally in file
+        order, plus plain keys for the toggles::
+
+            [profile:metrics:1]
+            keep_selectors = div.metrics-panel
+            field.views = ^views (\\d+)$
+            field.likes = ^likes (\\d+)$
+            normalize = false
+        """
+        if path.rsplit(".", 1)[-1].lower() in ("ini", "cfg", "conf"):
+            return cls._from_ini(path)
+        with open(path, encoding="utf-8") as f:
+            return cls.from_obj(json.load(f))
+
+    @classmethod
+    def _from_ini(cls, path: str) -> "ProfileLibrary":
+        import configparser
+
+        cp = configparser.ConfigParser(interpolation=None)
+        cp.optionxform = str  # keep case + non-ASCII field names intact
+        with open(path, encoding="utf-8") as f:
+            cp.read_file(f)
+        lib = cls()
+        for section in cp.sections():
+            if not section.startswith("profile:"):
+                continue  # foreign sections ([fields] etc.) are not profiles
+            try:
+                _, doc_class, pid = section.split(":", 2)
+            except ValueError:
+                raise ValueError(
+                    f"{path}: section [{section}] must be "
+                    "[profile:<doc_class>:<profile_id>]") from None
+            opts = cp[section]
+            names, regexes = [], []
+            for k, v in opts.items():  # configparser preserves file order
+                if k.startswith("field."):
+                    names.append(k[len("field."):])
+                    regexes.append(v)
+            sel = tuple(s.strip() for s in
+                        opts.get("keep_selectors", "").split(",") if s.strip())
+            lib.add(Profile(
+                doc_class=doc_class,
+                profile_id=int(pid),
+                keep_selectors=sel,
+                field_names=tuple(names),
+                field_regexes=tuple(regexes),
+                normalize=opts.getboolean("normalize", fallback=False),
+                strip_cjk=opts.getboolean("strip_cjk", fallback=False),
+                pair_fields=opts.getint("pair_fields", fallback=0),
+                layout_parser=opts.get("layout_parser", "multi_para"),
+            ))
+        if not lib.profiles:
+            raise ValueError(f"{path}: no [profile:*] sections found")
+        return lib
+
+
+def load_field_mapping(path: str) -> dict[str, str]:
+    """CN→EN column mapping from a config file (reference FIELD_MAPPING,
+    db/data_sync.py:15-19): JSON ``{"field_mapping": {...}}`` or INI
+    ``[fields]`` section."""
+    if path.rsplit(".", 1)[-1].lower() in ("ini", "cfg", "conf"):
+        import configparser
+
+        cp = configparser.ConfigParser(interpolation=None)
+        cp.optionxform = str
+        with open(path, encoding="utf-8") as f:
+            cp.read_file(f)
+        return dict(cp["fields"]) if cp.has_section("fields") else {}
+    with open(path, encoding="utf-8") as f:
+        return dict(json.load(f).get("field_mapping", {}))
+
 
 DEFAULT_PROFILE = Profile(doc_class="default", profile_id=0)
 

@@ -39,6 +39,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--concurrency", type=int, default=None,
                    help="max extractor actors (default: cluster CPUs)")
     p.add_argument("--batch-size", type=int, default=32)
+    p.add_argument("--profiles", default=None, metavar="PATH",
+                   help="extraction-profile config (JSON or INI; see "
+                        "ProfileLibrary.from_config) — default: the "
+                        "built-in library")
     p.add_argument("--every", type=float, default=None, metavar="SECONDS",
                    help="run on an interval with restart catch-up (E2 "
                         "scheduler analog); state in <out>/_manifests")
@@ -55,7 +59,10 @@ def main(argv: list[str] | None = None) -> int:
     ray.data.DataContext.get_current().enable_progress_bars = False
 
     from xhs_ocr_ray.pipelines.extract_pages import bucketize, run_extract
-    from xhs_ocr_ray.profiles import default_library
+    from xhs_ocr_ray.profiles import ProfileLibrary, default_library
+
+    library = (ProfileLibrary.from_config(args.profiles) if args.profiles
+               else default_library())
 
     max_actors = args.concurrency or int(ray.cluster_resources().get("CPU", 8))
     since_ts = (
@@ -99,7 +106,7 @@ def main(argv: list[str] | None = None) -> int:
         res = run_extract(
             args.staged,
             args.out,
-            library=default_library(),
+            library=library,
             since_ts=since_ts,
             concurrency=(1, max_actors),
             batch_size=args.batch_size,

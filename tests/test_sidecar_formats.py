@@ -118,6 +118,55 @@ def test_scheduler_run_periodic_no_sleep(tmp_path):
     assert n2 == 2 and ran2 == [1300.0, 1400.0]
 
 
+def test_scheduler_daily_at_time_grid_and_catchup(tmp_path):
+    """--at HH:MM mode: ticks land exactly on HH:MM local each day, with
+    the same persisted catch-up machinery as the interval mode (reference
+    daily branch, social_ocr.py:132-141). Simulated clock — never sleeps."""
+    import datetime
+
+    from xhs_ocr_ray.scheduler import daily_anchor, run_periodic
+
+    day = 86400.0
+    # a known local wall-clock instant: today 05:00 local
+    base = datetime.datetime(2026, 3, 1, 5, 0).timestamp()
+    anchor = daily_anchor("06:30", now=base)
+    assert datetime.datetime.fromtimestamp(anchor).strftime("%H:%M") == "06:30"
+
+    clock = {"t": base}
+    ran: list[float] = []
+
+    def fake_sleep(s):
+        clock["t"] += s
+
+    state = str(tmp_path / "sched.json")
+    n = run_periodic(ran.append, day, anchor=anchor, max_runs=3,
+                     state_path=state, now=lambda: clock["t"],
+                     sleep=fake_sleep)
+    assert n == 3
+    # every tick is exactly on the 06:30 local grid, on consecutive days
+    stamps = [datetime.datetime.fromtimestamp(t) for t in ran]
+    assert all(s.strftime("%H:%M:%S") == "06:30:00" for s in stamps)
+    assert [(b - a).total_seconds() for a, b in zip(stamps, stamps[1:])] \
+        == [day, day]
+    # restart after 2.5 days of downtime: missed daily windows replay
+    clock["t"] = ran[-1] + 2.5 * day
+    ran2: list[float] = []
+    n2 = run_periodic(ran2.append, day, anchor=anchor, max_runs=2,
+                      state_path=state, now=lambda: clock["t"],
+                      sleep=fake_sleep)
+    assert n2 == 2 and ran2 == [ran[-1] + day, ran[-1] + 2 * day]
+
+
+def test_daily_anchor_rejects_bad_input():
+    import pytest
+
+    from xhs_ocr_ray.scheduler import daily_anchor
+
+    for bad in ("6:99", "24:00", "noon", "06", "06:30:00"):
+        with pytest.raises(ValueError, match="HH:MM"):
+            daily_anchor(bad, now=0.0)
+
+
 def test_extract_dataset_remote_args(ray_session):
     """A2 analog: resource knobs plumb through to the actor pool."""
     import ray.data

@@ -46,9 +46,15 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--every", type=float, default=None, metavar="SECONDS",
                    help="run on an interval with restart catch-up (E2 "
                         "scheduler analog); state in <out>/_manifests")
+    p.add_argument("--at", default=None, metavar="HH:MM",
+                   help="run daily at HH:MM local time (the reference's "
+                        "daily mode) with the same restart catch-up; "
+                        "mutually exclusive with --every")
     p.add_argument("--max-runs", type=int, default=None,
-                   help="stop after N scheduled runs (with --every)")
+                   help="stop after N scheduled runs (with --every/--at)")
     args = p.parse_args(argv)
+    if args.every and args.at:
+        p.error("--every and --at are mutually exclusive")
 
     import ray
 
@@ -115,14 +121,19 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps(res))
         return res
 
-    if args.every:
+    if args.every or args.at:
         import os
+        import time
 
-        from xhs_ocr_ray.scheduler import run_periodic
+        from xhs_ocr_ray.scheduler import daily_anchor, run_periodic
 
+        if args.at:
+            every_s, anchor = 86400.0, daily_anchor(args.at, now=time.time())
+        else:
+            every_s, anchor = args.every, 0.0
         os.makedirs(os.path.join(args.out, "_manifests"), exist_ok=True)
         run_periodic(
-            one_run, args.every, max_runs=args.max_runs,
+            one_run, every_s, anchor=anchor, max_runs=args.max_runs,
             state_path=os.path.join(args.out, "_manifests", "_schedule.json"),
         )
     else:

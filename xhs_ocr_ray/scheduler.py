@@ -57,6 +57,27 @@ def due_runs(last_run: float | None, now: float, every_s: float,
     return ticks
 
 
+def daily_anchor(at_hhmm: str, *, now: float) -> float:
+    """Epoch seconds of today's ``HH:MM`` LOCAL time — the grid anchor for
+    the daily-at-time mode (reference: the daily branch of the scheduler
+    loop, core/social_ocr.py:132-141). Any point on the grid anchors it, so
+    "today" vs "yesterday" is irrelevant; with ``every_s=86400`` ticks land
+    at HH:MM each day. (A fixed 86400 s grid drifts ±1 h across DST changes
+    — acceptable for a batch window; run under TZ=UTC to avoid it.)
+    """
+    import datetime
+
+    try:
+        hh, mm = at_hhmm.split(":")
+        h, m = int(hh), int(mm)
+        if not (0 <= h < 24 and 0 <= m < 60):
+            raise ValueError
+    except ValueError:
+        raise ValueError(f"--at must be HH:MM (24h), got {at_hhmm!r}") from None
+    local = datetime.datetime.fromtimestamp(now)
+    return local.replace(hour=h, minute=m, second=0, microsecond=0).timestamp()
+
+
 def _load_state(path: str | None) -> float | None:
     if path and os.path.exists(path):
         try:
@@ -77,18 +98,21 @@ def _save_state(path: str | None, tick: float) -> None:
 
 
 def run_periodic(job: Callable[[float], object], every_s: float, *,
-                 max_runs: int | None = None, state_path: str | None = None,
+                 anchor: float = 0.0, max_runs: int | None = None,
+                 state_path: str | None = None,
                  now: Callable[[], float] = time.time,
                  sleep: Callable[[float], None] = time.sleep) -> int:
     """Run ``job(tick_time)`` on every due tick; returns the run count.
 
     Catch-up first (missed ticks from ``state_path``), then steady-state:
-    sleep to the next grid tick. ``max_runs`` bounds the loop (tests and
-    one-shot catch-up invocations)."""
+    sleep to the next grid tick. The grid is ``anchor + k*every_s`` — pass
+    ``anchor=daily_anchor("06:30", now=...)`` with ``every_s=86400`` for
+    the reference's daily-at-HH:MM mode. ``max_runs`` bounds the loop
+    (tests and one-shot catch-up invocations)."""
     runs = 0
     last = _load_state(state_path)
     while max_runs is None or runs < max_runs:
-        for tick in due_runs(last, now(), every_s):
+        for tick in due_runs(last, now(), every_s, anchor=anchor):
             job(tick)
             last = tick
             _save_state(state_path, tick)
@@ -96,6 +120,6 @@ def run_periodic(job: Callable[[float], object], every_s: float, *,
             if max_runs is not None and runs >= max_runs:
                 return runs
         current = now()
-        next_tick = (current // every_s + 1) * every_s
+        next_tick = anchor + ((current - anchor) // every_s + 1) * every_s
         sleep(max(0.0, next_tick - current))
     return runs

@@ -792,6 +792,26 @@ def _q_gif_features(sf_dir: str):
     )
 
 
+def _q_audio_features(sf_dir: str):
+    """Audio decode path, REAL samples end to end: synthesize a 16-bit PCM
+    WAV per document (closed-form square wave in doc_id, sources/media.py),
+    decode with the stdlib-wave codec inside the actor-pool AudioChunk
+    stage, window at 500 ms, emit exact per-window rms / zero-crossing /
+    peak features."""
+    from xhs_ocr_ray.sources.media import wav_media_from_documents
+    from xhs_ocr_ray.stages.multimodal import AudioChunk
+
+    return (
+        _read(sf_dir, "documents", columns=["doc_id"])
+        .map_batches(wav_media_from_documents, batch_format="pyarrow")
+        .map_batches(AudioChunk, batch_format="pyarrow", batch_size=64,
+                     concurrency=(1, 4),
+                     fn_constructor_kwargs={"chunk_ms": 500})
+        .select_columns(["media_id", "chunk_start_ms", "n_samples", "rms",
+                         "zero_crossings", "peak"])
+    )
+
+
 def _q_regex_extract(sf_dir: str):
     """First number in each document text — vectorized RE2 extract
     (SQL regexp_extract semantics: '' when no match)."""
@@ -1437,6 +1457,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": _q_lang_id,
         "lang_id_cjk": _q_lang_id_cjk,
         "png_features": _q_png_features,
+        "audio_features": _q_audio_features,
         "gif_features": _q_gif_features,
         "regex_extract": _q_regex_extract,
         "curation_pipeline": _q_curation_pipeline,
@@ -2057,6 +2078,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(c1 * (w // 2) * h + c2 * (w - w // 2) * h AS DOUBLE)
                      / (w * h) AS mean_val
             FROM p
+        """,
+        # -- WAV synthesis + decode are closed-form in doc_id: square wave
+        # of amplitude A flipping every hp samples → per-500ms-window rms =
+        # A (perfect square), peak = A, crossings = (end-1)//hp - start//hp
+        "audio_features": """
+            WITH p AS (
+              SELECT doc_id,
+                     8000 + (doc_id % 5) * 2000 AS n,
+                     1000 + doc_id % 100 AS amp,
+                     4 + doc_id % 4 AS hp
+              FROM documents
+            ), c AS (
+              SELECT doc_id, n, amp, hp,
+                     UNNEST(range((n + 3999) // 4000)) AS ck
+              FROM p
+            )
+            SELECT doc_id AS media_id,
+                   CAST(ck * 500 AS INTEGER) AS chunk_start_ms,
+                   CAST(LEAST((ck + 1) * 4000, n) - ck * 4000 AS BIGINT)
+                     AS n_samples,
+                   CAST(amp AS DOUBLE) AS rms,
+                   CAST((LEAST((ck + 1) * 4000, n) - 1) // hp
+                        - (ck * 4000) // hp AS BIGINT) AS zero_crossings,
+                   CAST(amp AS BIGINT) AS peak
+            FROM c
         """,
         # -- GIF corpus carries the identical closed-form pixels
         "gif_features": """

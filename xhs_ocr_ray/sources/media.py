@@ -53,6 +53,46 @@ def png_media_from_documents(batch: pa.Table) -> pa.Table:
     )
 
 
+def wav_media_from_documents(batch: pa.Table) -> pa.Table:
+    """documents(doc_id, …) → media rows with real 16-bit PCM WAV payloads
+    whose samples are a closed-form square wave in ``doc_id``:
+
+    - rate 8000 Hz, ``n = 8000 + (doc_id % 5)·2000`` samples;
+    - amplitude ``A = 1000 + doc_id % 100``, half-period
+      ``hp = 4 + doc_id % 4``: ``x[i] = ±A`` flipping every ``hp`` samples.
+
+    Per 500 ms window the features are exact integers: rms = A (perfect
+    square), peak = A, zero_crossings = (end−1)//hp − start//hp — one SQL
+    expression per column, so the decode → window → feature pipeline has a
+    bit-exact oracle."""
+    from xhs_ocr_ray.wav import encode_wav
+
+    doc_ids = batch.column("doc_id").to_pylist()
+    payloads: list[bytes] = []
+    durs: list[int] = []
+    rate = 8000
+    for doc_id in doc_ids:
+        n = 8000 + (doc_id % 5) * 2000
+        amp = 1000 + doc_id % 100
+        hp = 4 + doc_id % 4
+        i = np.arange(n)
+        x = np.where((i // hp) % 2 == 0, amp, -amp).astype(np.int16)
+        payloads.append(encode_wav(x, rate))
+        durs.append(n * 1000 // rate)
+    n_rows = len(doc_ids)
+    return pa.table(
+        {
+            "media_id": pa.array(doc_ids, pa.int64()),
+            "media_type": pa.array(["audio"] * n_rows, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+            "width": pa.array([0] * n_rows, pa.int32()),
+            "height": pa.array([0] * n_rows, pa.int32()),
+            "duration_ms": pa.array(durs, pa.int32()),
+        },
+        schema=MEDIA_SCHEMA,
+    )
+
+
 def gif_media_from_documents(batch: pa.Table) -> pa.Table:
     """documents(doc_id, …) → media rows with real GIF payloads (same
     closed-form geometry/pixels as the PNG corpus, so the same SQL oracle

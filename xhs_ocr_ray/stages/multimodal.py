@@ -168,10 +168,24 @@ class FrameSample:
 
 
 class AudioChunk:
-    """Actor stage: audio payload → fixed-window chunk features (stubbed
-    decode, real windowing: one output row per ``chunk_ms`` window, last
-    window truncated). The windowing arithmetic, fan-out and schema are the
-    real pipeline; only the codec is faked."""
+    """Actor stage: audio payload → per-window chunk features (one output
+    row per ``chunk_ms`` window, last window truncated).
+
+    WAV/PCM payloads decode for REAL (stdlib ``wave`` via
+    :mod:`xhs_ocr_ray.wav`): windows are cut from the decoded samples and
+    each emits exact integer-derived features — ``n_samples``,
+    ``peak`` (max |x|), ``zero_crossings`` (sign-bit change count) and
+    ``rms`` = sqrt(sum(x²)/n), one libm sqrt over exact integer sums, so
+    the SQL oracle is bit-exact. ``feature`` carries
+    ``[rms, zero_crossings, peak]`` as float32. Corrupt WAV payloads are
+    quarantined ROW-LOCALLY (``status='failed_decode'``), mirroring
+    :class:`ImageDecode`.
+
+    Compressed codecs (MP3/AAC/Opus) have no decoder in this container:
+    non-WAV payloads raise ``NotImplementedError`` unless ``fake=True``,
+    which keeps the duration-derived windowing/fan-out real and fills
+    features with seeded noise (plus noise-derived rms/zcr/peak, so the
+    schema is identical to the real path)."""
 
     def __init__(self, fake: bool = False, chunk_ms: int = 1000,
                  n_mels: int = 13):
@@ -179,32 +193,91 @@ class AudioChunk:
         self.chunk_ms = chunk_ms
         self.n_mels = n_mels
 
+    def _rows_real(self, payload: bytes) -> list[tuple]:
+        from xhs_ocr_ray.wav import decode_wav
+
+        samples, rate = decode_wav(payload)
+        cs = max(1, rate * self.chunk_ms // 1000)
+        n = len(samples)
+        n_chunks = max(1, -(-n // cs))  # ceil; ≥1 even for empty audio
+        rows = []
+        for c in range(n_chunks):
+            x = samples[c * cs: (c + 1) * cs]
+            if len(x):
+                ss = int((x.astype(np.int64) ** 2).sum())
+                rms = float(ss / len(x)) ** 0.5
+                neg = x < 0
+                zc = int(np.count_nonzero(neg[1:] != neg[:-1]))
+                peak = int(np.abs(x).max())
+            else:
+                rms, zc, peak = 0.0, 0, 0
+            rows.append((c * self.chunk_ms, len(x), rms, zc, peak,
+                         [rms, float(zc), float(peak)], "ok"))
+        return rows
+
+    def _rows_fake(self, payload: bytes, dur: int) -> list[tuple]:
+        n_chunks = max(1, -(-dur // self.chunk_ms))  # ceil; ≥1 per clip
+        rows = []
+        for c in range(n_chunks):
+            seed = stable_hash64(payload + b"a" + bytes([c & 0xFF])) & 0xFFFFFFFF
+            rng = np.random.default_rng(seed)
+            v = rng.standard_normal(self.n_mels)
+            neg = v < 0
+            rows.append((
+                c * self.chunk_ms, 0,
+                float(np.sqrt((v ** 2).mean())),
+                int(np.count_nonzero(neg[1:] != neg[:-1])),
+                int(np.abs(v).max()),  # noise peak ~N(0,1) → floor to int
+                v.astype(np.float32).tolist(), "ok",
+            ))
+        return rows
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if not self.fake:
-            raise NotImplementedError(
-                "audio decode unavailable; construct AudioChunk(fake=True)"
-            )
-        out_id, out_start, out_feat = [], [], []
+        from xhs_ocr_ray.wav import is_wav
+
+        out: dict[str, list] = {k: [] for k in (
+            "media_id", "chunk_start_ms", "n_samples", "rms",
+            "zero_crossings", "peak", "feature", "status")}
         for mid, payload, dur in zip(
             batch.column("media_id").to_pylist(),
             batch.column("payload").to_pylist(),
             batch.column("duration_ms").to_pylist(),
         ):
-            dur = dur or 0
-            n_chunks = max(1, -(-dur // self.chunk_ms))  # ceil; ≥1 per clip
-            for c in range(n_chunks):
-                seed = stable_hash64((payload or b"") + b"a" + bytes([c & 0xFF])) & 0xFFFFFFFF
-                rng = np.random.default_rng(seed)
-                out_id.append(mid)
-                out_start.append(c * self.chunk_ms)
-                out_feat.append(
-                    rng.standard_normal(self.n_mels).astype(np.float32).tolist()
+            payload = payload or b""
+            if is_wav(payload):
+                try:
+                    rows = self._rows_real(payload)
+                except ValueError:
+                    # corrupt WAV — quarantine row-locally (class doc)
+                    rows = [(0, 0, None, 0, 0, None, "failed_decode")]
+            elif self.fake:
+                rows = self._rows_fake(payload, dur or 0)
+            else:
+                raise NotImplementedError(
+                    "audio decode beyond WAV/PCM requires a codec library "
+                    "not present in this container; WAV decodes natively — "
+                    "construct AudioChunk(fake=True) for a deterministic "
+                    "stub otherwise (e.g. MP3/AAC payloads)"
                 )
+            for start, ns, rms, zc, peak, feat, status in rows:
+                out["media_id"].append(mid)
+                out["chunk_start_ms"].append(start)
+                out["n_samples"].append(ns)
+                out["rms"].append(rms)
+                out["zero_crossings"].append(zc)
+                out["peak"].append(peak)
+                out["feature"].append(feat)
+                out["status"].append(status)
         return pa.table(
             {
-                "media_id": pa.array(out_id, pa.int64()),
-                "chunk_start_ms": pa.array(out_start, pa.int32()),
-                "feature": pa.array(out_feat, pa.list_(pa.float32())),
+                "media_id": pa.array(out["media_id"], pa.int64()),
+                "chunk_start_ms": pa.array(out["chunk_start_ms"], pa.int32()),
+                "n_samples": pa.array(out["n_samples"], pa.int64()),
+                "rms": pa.array(out["rms"], pa.float64()),
+                "zero_crossings": pa.array(out["zero_crossings"], pa.int64()),
+                "peak": pa.array(out["peak"], pa.int64()),
+                "feature": pa.array(out["feature"], pa.list_(pa.float32())),
+                "status": pa.array(out["status"], pa.string()),
             }
         )
 

@@ -49,3 +49,35 @@ def test_simhash_self_distance_zero(tokens):
     h = simhash64(tokens)
     assert hamming64(h, h) == 0
     assert 0 <= h < 1 << 64
+
+
+# url-ish strings: realistic corpus shapes, plus adversarial characters that
+# urlsplit normalizes (tabs/newlines stripped mid-url, C0+space trimmed at
+# the ends) — the vectorized fast path must either agree or fall back.
+_seg_chars = st.text(
+    alphabet=st.sampled_from(
+        list("abcdefghij0123456789-_.%~:@ \t\n\r/?#\x00\x7f中文")
+    ),
+    max_size=12,
+)
+_url_st = st.one_of(
+    st.builds(
+        lambda scheme, host, path: f"{scheme}://{host}/{path}",
+        st.sampled_from(["http", "https", "HTTP", "ftp"]),
+        _seg_chars,
+        _seg_chars,
+    ),
+    _seg_chars,  # not a url at all
+    st.text(max_size=40),
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(_url_st, min_size=0, max_size=20))
+def test_batch_doc_classes_matches_per_row(urls):
+    import pyarrow as pa
+
+    from xhs_ocr_ray.engine import batch_doc_classes, doc_class_of
+
+    got = batch_doc_classes(pa.array(urls, pa.string()), {})
+    assert got == [doc_class_of(u) for u in urls]

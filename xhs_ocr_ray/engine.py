@@ -30,6 +30,7 @@ import re
 import urllib.parse
 
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from xhs_ocr_ray.functions.normalize import canonical_doc_class
 from xhs_ocr_ray.layout.paragraph import render as render_blocks
@@ -73,6 +74,44 @@ def doc_class_of(url: str) -> str:
     return canonical_doc_class(seg) or "default"
 
 
+# First path segment of a scheme://host/... url, ONE RE2 pass per batch.
+# Charset deliberately stricter than urlsplit (no space/control chars in
+# host or segment, the segment must end at / ? # or EOS, no control chars
+# anywhere after it): anything urlsplit would normalize away (\t\n\r are
+# stripped mid-url, C0+space trimmed at the ends) fails the match and takes
+# the exact per-row fallback instead — equivalence is property-tested.
+_SEG_PATTERN = (r"(?i)^https?://[^\x00-\x20/?#]*/+"
+                r"(?P<seg>[^\x00-\x20/?#]+)(?:[/?#][^\x00-\x1f]*)?$")
+
+
+def batch_doc_classes(url_arr, memo: dict[str, str]) -> list[str]:
+    """Vectorized ``doc_class_of`` over a url column: the RE2 extract pulls
+    the first path segment for well-formed http(s) urls (the whole corpus
+    in practice); the digit-strip canonicalization is memoized per unique
+    segment; non-matching rows fall back to the exact per-row function."""
+    urls = (url_arr.combine_chunks()
+            if isinstance(url_arr, pa.ChunkedArray) else url_arr)
+    ext = pc.extract_regex(urls, _SEG_PATTERN)
+    # non-matching rows are null STRUCTS; .field() alone would surface the
+    # child's placeholder "" — mask through the struct validity
+    segs = pc.if_else(ext.is_valid(), ext.field("seg"),
+                      pa.scalar(None, pa.string())).to_pylist()
+    out: list[str] = []
+    url_list: list | None = None
+    for i, s in enumerate(segs):
+        if s is not None:
+            dc = memo.get(s)
+            if dc is None:
+                dc = canonical_doc_class(s) or "default"
+                memo[s] = dc
+            out.append(dc)
+        else:
+            if url_list is None:
+                url_list = urls.to_pylist()
+            out.append(doc_class_of(url_list[i] or ""))
+    return out
+
+
 def extract_layout_payload(payload: bytes, parser_name: str) -> str | None:
     """Parse a %LAYOUT1 JSON box payload and assemble reading-order text."""
     try:
@@ -103,10 +142,14 @@ class ExtractorEngine:
                     self.compiled[id(p)] = [
                         re.compile(rx, re.MULTILINE) for rx in p.field_regexes
                     ]
+        # per-actor memo: first-path-segment → canonical doc_class
+        self._class_memo: dict[str, str] = {}
 
     # -- per-row core (also used directly by golden tests) ----------------
-    def extract_row(self, url: str, payload: bytes) -> ExtractionResult:
-        dc = doc_class_of(url)
+    def extract_row(self, url: str, payload: bytes,
+                    dc: str | None = None) -> ExtractionResult:
+        if dc is None:
+            dc = doc_class_of(url)
         if payload.startswith(LAYOUT_MAGIC):
             profs = self.library.for_class(dc)
             parser_name = profs[0].layout_parser if profs else self.default_layout_parser
@@ -130,46 +173,51 @@ class ExtractorEngine:
 
     # -- batch entry -------------------------------------------------------
     def __call__(self, batch: pa.Table) -> pa.Table:
-        urls = batch.column("url").to_pylist()
-        htmls = batch.column("html").to_pylist()
+        url_arr = batch.column("url").combine_chunks()
+        urls = url_arr.to_pylist()
+        html_arr = batch.column("html").combine_chunks()
+        htmls = html_arr.to_pylist()
         ts = batch.column("warc_ts")
         langs = (
-            batch.column("lang").to_pylist()
+            batch.column("lang")
             if "lang" in batch.column_names
-            else [""] * len(urls)
+            else pa.array([""] * len(urls), pa.string())
         )
+        # doc-class routing hoisted out of the per-row loop: one vectorized
+        # RE2 pass + per-actor memo (previously urlsplit ran TWICE per row)
+        classes = batch_doc_classes(url_arr, self._class_memo)
         texts: list[str | None] = []
         fields: list[str | None] = []
         pids: list[int] = []
         statuses: list[str] = []
-        n_chars: list[int] = []
-        n_lines: list[int] = []
-        html_bytes: list[int] = []
-        classes: list[str] = []
-        for url, payload in zip(urls, htmls):
-            payload = payload or b""
-            classes.append(doc_class_of(url))
-            res = self.extract_row(url, payload)
+        for url, payload, dc in zip(urls, htmls, classes):
+            res = self.extract_row(url, payload or b"", dc)
             texts.append(res.text)
             fields.append(res.fields_json)
             pids.append(res.profile_id)
             statuses.append(res.status)
-            n_chars.append(len(res.text) if res.text else 0)
-            n_lines.append(res.text.count("\n") if res.text else 0)
-            html_bytes.append(len(payload))
+        # size metrics via Arrow kernels, not per-row len()/count()
+        # (null text → 0, matching the old `if res.text else 0`; "" also
+        # yields 0 through length/count directly)
+        text_arr = pa.array(texts, pa.large_string())
+        n_chars = pc.cast(pc.fill_null(pc.utf8_length(text_arr), 0), pa.int64())
+        n_lines = pc.cast(
+            pc.fill_null(pc.count_substring(text_arr, "\n"), 0), pa.int64())
+        html_bytes = pc.cast(
+            pc.fill_null(pc.binary_length(html_arr), 0), pa.int64())
         return pa.table(
             {
-                "url": pa.array(urls, pa.string()),
+                "url": pc.cast(url_arr, pa.string()),
                 "warc_ts": ts,
-                "lang": pa.array(langs, pa.string()),
+                "lang": pc.cast(langs, pa.string()),
                 "doc_class": pa.array(classes, pa.string()),
-                "extracted_text": pa.array(texts, pa.large_string()),
+                "extracted_text": text_arr,
                 "fields": pa.array(fields, pa.string()),
                 "profile_id": pa.array(pids, pa.int32()),
                 "status": pa.array(statuses, pa.string()),
-                "n_chars": pa.array(n_chars, pa.int64()),
-                "n_lines": pa.array(n_lines, pa.int64()),
-                "html_bytes": pa.array(html_bytes, pa.int64()),
+                "n_chars": n_chars,
+                "n_lines": n_lines,
+                "html_bytes": html_bytes,
             },
             schema=OUTPUT_SCHEMA,
         )

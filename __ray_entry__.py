@@ -792,6 +792,35 @@ def _q_gif_features(sf_dir: str):
     )
 
 
+def _q_jpeg_features(sf_dir: str):
+    """Same decode→features path as png_features but over real baseline-DCT
+    JPEG payloads (block-aligned uniform regions + flat quant table → exact
+    pixels; sources/media.py): Huffman decode, dequant, batched IDCT."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from xhs_ocr_ray.sources.media import jpeg_media_from_documents
+    from xhs_ocr_ray.stages.multimodal import ImageDecode
+
+    return (
+        _read(sf_dir, "documents", columns=["doc_id"])
+        .map_batches(jpeg_media_from_documents, batch_format="pyarrow")
+        .map_batches(ImageDecode, batch_format="pyarrow", batch_size=64,
+                     concurrency=(1, 4))
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "media_id": b.column("media_id"),
+                    "width": pc.cast(b.column("dec_width"), pa.int64()),
+                    "height": pc.cast(b.column("dec_height"), pa.int64()),
+                    "mean_val": b.column("mean_val"),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
 def _q_audio_features(sf_dir: str):
     """Audio decode path, REAL samples end to end: synthesize a 16-bit PCM
     WAV per document (closed-form square wave in doc_id, sources/media.py),
@@ -1458,6 +1487,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id_cjk": _q_lang_id_cjk,
         "png_features": _q_png_features,
         "audio_features": _q_audio_features,
+        "jpeg_features": _q_jpeg_features,
         "gif_features": _q_gif_features,
         "regex_extract": _q_regex_extract,
         "curation_pipeline": _q_curation_pipeline,
@@ -2103,6 +2133,21 @@ def oracle_sql() -> dict[str, str]:
                         - (ck * 4000) // hp AS BIGINT) AS zero_crossings,
                    CAST(amp AS BIGINT) AS peak
             FROM c
+        """,
+        # -- JPEG corpus: block-aligned split (x<8 → c1) + flat quant table
+        # → every DCT block is DC-only and decodes exactly
+        "jpeg_features": """
+            WITH p AS (
+              SELECT doc_id,
+                     16 + doc_id % 7 AS w, 12 + doc_id % 5 AS h,
+                     doc_id % 256 AS c1, (doc_id * 7) % 251 AS c2
+              FROM documents
+            )
+            SELECT doc_id AS media_id,
+                   CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+                   CAST(c1 * 8 * h + c2 * (w - 8) * h AS DOUBLE)
+                     / (w * h) AS mean_val
+            FROM p
         """,
         # -- GIF corpus carries the identical closed-form pixels
         "gif_features": """

@@ -53,6 +53,43 @@ def png_media_from_documents(batch: pa.Table) -> pa.Table:
     )
 
 
+def jpeg_media_from_documents(batch: pa.Table) -> pa.Table:
+    """documents(doc_id, …) → media rows with real baseline-JPEG payloads.
+
+    Same geometry as the PNG corpus but the value split is BLOCK-ALIGNED
+    (x < 8 → c1, else c2) so every 8×8 DCT block is uniform: with the
+    flat all-1s quant table each block is DC-only with an exact integer
+    coefficient and decodes bit-exactly — mean pixel value
+    ``(c1·8·h + c2·(w−8)·h) / (w·h)`` is one integer ratio, the same SQL
+    oracle shape as png_features."""
+    from xhs_ocr_ray.jpeg import encode_jpeg
+
+    doc_ids = batch.column("doc_id").to_pylist()
+    payloads: list[bytes] = []
+    widths: list[int] = []
+    heights: list[int] = []
+    for doc_id in doc_ids:
+        w = 16 + doc_id % 7
+        h = 12 + doc_id % 5
+        img = np.full((h, w), (doc_id * 7) % 251, dtype=np.uint8)
+        img[:, :8] = doc_id % 256
+        payloads.append(encode_jpeg(img, restart_interval=(doc_id % 3) or 0))
+        widths.append(w)
+        heights.append(h)
+    n = len(doc_ids)
+    return pa.table(
+        {
+            "media_id": pa.array(doc_ids, pa.int64()),
+            "media_type": pa.array(["image"] * n, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+            "width": pa.array(widths, pa.int32()),
+            "height": pa.array(heights, pa.int32()),
+            "duration_ms": pa.array([0] * n, pa.int32()),
+        },
+        schema=MEDIA_SCHEMA,
+    )
+
+
 def wav_media_from_documents(batch: pa.Table) -> pa.Table:
     """documents(doc_id, …) → media rows with real 16-bit PCM WAV payloads
     whose samples are a closed-form square wave in ``doc_id``:

@@ -5,10 +5,11 @@ columns (``media_type``, ``width``/``height``/``duration_ms``). Every stage
 is an actor-pool ``map_batches`` class (decoder state warmed in
 ``__init__``), small batch sizes because rows are wide.
 
-Image decode is REAL for PNG payloads (pure-Python codec,
-:mod:`xhs_ocr_ray.png` — the PIL/cv2 analog of the reference's pixel
-ingestion at core/run.py:660-676). Other image formats and the audio/video
-codecs have no stdlib decode path in this container: those raise
+Image decode is REAL for PNG, GIF, BMP and baseline JPEG payloads
+(pure-Python codecs — the PIL/cv2 analog of the reference's pixel
+ingestion at core/run.py:660-676); audio decode is REAL for WAV/PCM
+(:mod:`xhs_ocr_ray.wav`). Remaining formats (WebP/AVIF, MP3/AAC, video
+codecs) have no decode path in this container: those raise
 ``NotImplementedError`` unless ``fake=True``, which substitutes a
 deterministic fake decode so schemas, batch sizing and output layout stay
 testable end-to-end.
@@ -75,12 +76,16 @@ class ImageDecode:
             from xhs_ocr_ray.bmp import decode_bmp
 
             return decode_bmp(payload)
+        if payload[:2] == b"\xff\xd8":
+            from xhs_ocr_ray.jpeg import decode_jpeg
+
+            return decode_jpeg(payload)  # real pixels (baseline DCT)
         if not self.fake:
             raise NotImplementedError(
-                "image decode beyond PNG/GIF/BMP requires PIL/cv2, not "
-                "present in this container; those three decode natively — "
+                "image decode beyond PNG/GIF/BMP/JPEG requires PIL/cv2, not "
+                "present in this container; those four decode natively — "
                 "construct ImageDecode(fake=True) for a deterministic stub "
-                "otherwise (e.g. JPEG payloads)"
+                "otherwise (e.g. WebP/AVIF payloads)"
             )
         return _fake_pixels(payload, w, h)
 

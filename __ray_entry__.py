@@ -841,6 +841,41 @@ def _q_audio_features(sf_dir: str):
     )
 
 
+def _q_boilerplate_filter(sf_dir: str):
+    """CCNet-style corpus boilerplate removal: derive a line-structured
+    corpus (a per-source 'HDR <source>' header + 8-word chunks — the
+    header repeats across every doc of the source, like site chrome),
+    then drop lines appearing in ≥5 distinct docs of the same source.
+    Two bucketed exchanges of narrow line rows (stages/boilerplate.py)."""
+    import pyarrow as pa
+
+    from xhs_ocr_ray.stages.boilerplate import boilerplate_line_filter
+
+    def derive(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        sources = batch.column("source").to_pylist()
+        out = []
+        for s, t in zip(sources, texts):
+            ws = [w for w in (t or "").split(" ") if w]
+            lines = [f"HDR {s}"] + [
+                " ".join(ws[i:i + 8]) for i in range(0, len(ws), 8)]
+            out.append("\n".join(lines))
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "source": batch.column("source"),
+            "text": pa.array(out, pa.string()),
+        })
+
+    corpus = (
+        _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
+        .map_batches(derive, batch_format="pyarrow")
+    )
+    return boilerplate_line_filter(
+        corpus, text_col="text", id_col="doc_id", group_col="source",
+        min_docs=5,
+    )
+
+
 def _q_regex_extract(sf_dir: str):
     """First number in each document text — vectorized RE2 extract
     (SQL regexp_extract semantics: '' when no match)."""
@@ -1488,6 +1523,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "png_features": _q_png_features,
         "audio_features": _q_audio_features,
         "jpeg_features": _q_jpeg_features,
+        "boilerplate_filter": _q_boilerplate_filter,
         "gif_features": _q_gif_features,
         "regex_extract": _q_regex_extract,
         "curation_pipeline": _q_curation_pipeline,
@@ -2133,6 +2169,31 @@ def oracle_sql() -> dict[str, str]:
                         - (ck * 4000) // hp AS BIGINT) AS zero_crossings,
                    CAST(amp AS BIGINT) AS peak
             FROM c
+        """,
+        # -- boilerplate removal: derived line corpus (HDR header repeats
+        # per source → banned at min_docs=5); exact line/agg recomputation
+        "boilerplate_filter": """
+            WITH w AS (
+              SELECT doc_id, source,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS ws
+              FROM documents
+            ), lines AS (
+              SELECT doc_id, source, 0 AS i, 'HDR ' || source AS line FROM w
+              UNION ALL
+              SELECT doc_id, source, j + 1 AS i,
+                     array_to_string(ws[j*8+1 : j*8+8], ' ') AS line
+              FROM w, UNNEST(range(CAST(ceil(len(ws) / 8.0) AS BIGINT))) AS t(j)
+            ), counts AS (
+              SELECT source, line, count(DISTINCT doc_id) AS nd
+              FROM lines GROUP BY source, line
+            )
+            SELECT l.doc_id,
+                   COALESCE(string_agg(l.line, chr(10) ORDER BY l.i)
+                            FILTER (WHERE c.nd < 5), '') AS clean_text,
+                   CAST(count(*) FILTER (WHERE c.nd < 5) AS BIGINT) AS n_kept,
+                   CAST(count(*) FILTER (WHERE c.nd >= 5) AS BIGINT) AS n_removed
+            FROM lines l JOIN counts c ON l.source = c.source AND l.line = c.line
+            GROUP BY l.doc_id
         """,
         # -- JPEG corpus: block-aligned split (x<8 → c1) + flat quant table
         # → every DCT block is DC-only and decodes exactly

@@ -40,7 +40,7 @@ QUERY_NAMES = [
     "outer_join", "stratified_sample", "hll_distinct", "range_join_grid",
     "string_agg", "jsonl_source", "gif_features", "regex_extract",
     "curation_pipeline", "csv_source", "warc_source", "bigram_topk",
-    "audio_features", "jpeg_features",
+    "audio_features", "jpeg_features", "boilerplate_filter",
 ]
 
 

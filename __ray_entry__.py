@@ -841,6 +841,42 @@ def _q_audio_features(sf_dir: str):
     )
 
 
+def _q_pii_scrub(sf_dir: str):
+    """Training-corpus PII redaction: inject closed-form emails/IPs/phones
+    per doc_id, scrub with the vectorized RE2 kernels, emit the scrubbed
+    text plus per-category redaction counts. DuckDB's regexp_replace /
+    regexp_extract_all run the same RE2 patterns staged in the same order."""
+    import pyarrow as pa
+
+    from xhs_ocr_ray.stages.text_analysis import pii_scrub_batch
+
+    def inject(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out = []
+        for doc_id, t in zip(ids, texts):
+            s = t or ""
+            if doc_id % 3:
+                s += f" contact user{doc_id}@example.com"
+            if doc_id % 4 == 0:
+                s += f" cc admin{doc_id}@corp.net"
+            s += f" from 10.0.{doc_id % 256}.{(doc_id * 3) % 256}"
+            if doc_id % 2 == 0:
+                s += f" call 555-01{doc_id % 10}-{1000 + doc_id % 9000}"
+            out.append(s)
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "text": pa.array(out, pa.string())})
+
+    return (
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(inject, batch_format="pyarrow")
+        .map_batches(pii_scrub_batch, batch_format="pyarrow",
+                     fn_kwargs={"col": "text"})
+        .select_columns(["doc_id", "text_scrubbed",
+                         "n_email", "n_ip", "n_phone"])
+    )
+
+
 def _q_boilerplate_filter(sf_dir: str):
     """CCNet-style corpus boilerplate removal: derive a line-structured
     corpus (a per-source 'HDR <source>' header + 8-word chunks — the
@@ -1524,6 +1560,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_features": _q_audio_features,
         "jpeg_features": _q_jpeg_features,
         "boilerplate_filter": _q_boilerplate_filter,
+        "pii_scrub": _q_pii_scrub,
         "gif_features": _q_gif_features,
         "regex_extract": _q_regex_extract,
         "curation_pipeline": _q_curation_pipeline,
@@ -2169,6 +2206,49 @@ def oracle_sql() -> dict[str, str]:
                         - (ck * 4000) // hp AS BIGINT) AS zero_crossings,
                    CAST(amp AS BIGINT) AS peak
             FROM c
+        """,
+        # -- PII scrub: same RE2 patterns, same staged order (count on the
+        # previous stage's output) as stages/text_analysis.PII_PATTERNS
+        "pii_scrub": """
+            WITH inj AS (
+              SELECT doc_id, text
+                || CASE WHEN doc_id % 3 <> 0
+                        THEN ' contact user' || doc_id || '@example.com'
+                        ELSE '' END
+                || CASE WHEN doc_id % 4 = 0
+                        THEN ' cc admin' || doc_id || '@corp.net'
+                        ELSE '' END
+                || ' from 10.0.' || (doc_id % 256) || '.' || ((doc_id * 3) % 256)
+                || CASE WHEN doc_id % 2 = 0
+                        THEN ' call 555-01' || (doc_id % 10) || '-'
+                             || (1000 + doc_id % 9000)
+                        ELSE '' END AS t
+              FROM documents
+            ), s1 AS (
+              SELECT doc_id,
+                CAST(len(regexp_extract_all(t,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT)
+                  AS n_email,
+                regexp_replace(t,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                  '<EMAIL>', 'g') AS t
+              FROM inj
+            ), s2 AS (
+              SELECT doc_id, n_email,
+                CAST(len(regexp_extract_all(t,
+                  '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT)
+                  AS n_ip,
+                regexp_replace(t,
+                  '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                  '<IP>', 'g') AS t
+              FROM s1
+            )
+            SELECT doc_id, n_email, n_ip,
+              CAST(len(regexp_extract_all(t,
+                '\\b\\d{3}[- ]\\d{3,4}[- ]\\d{4}\\b')) AS BIGINT) AS n_phone,
+              regexp_replace(t, '\\b\\d{3}[- ]\\d{3,4}[- ]\\d{4}\\b',
+                '<PHONE>', 'g') AS text_scrubbed
+            FROM s2
         """,
         # -- boilerplate removal: derived line corpus (HDR header repeats
         # per source → banned at min_docs=5); exact line/agg recomputation

@@ -145,3 +145,34 @@ def test_repetition_signals():
     assert empty.num_rows == 0
     assert empty.schema.names == ["doc_id", "n_words", "dup_word_frac",
                                   "top_word_frac", "top_bigram_frac"]
+
+
+def test_pii_scrub_batch():
+    from xhs_ocr_ray.stages.text_analysis import pii_scrub_batch
+
+    b = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": [
+            "mail me at a.b+c@ex-ample.co.uk or x@y.io from 10.0.0.1",
+            "call 555-0142-9001 and 123 4567 8901; ip 256.1.1.1 still matches shape",
+            "",
+        ],
+    })
+    out = pii_scrub_batch(b, col="text")
+    assert out.column("n_email").to_pylist() == [2, 0, 0]
+    assert out.column("n_ip").to_pylist() == [1, 1, 0]
+    assert out.column("n_phone").to_pylist() == [0, 2, 0]
+    scrubbed = out.column("text_scrubbed").to_pylist()
+    assert scrubbed[0] == "mail me at <EMAIL> or <EMAIL> from <IP>"
+    assert "<PHONE>" in scrubbed[1] and "555" not in scrubbed[1]
+    assert scrubbed[2] == ""
+    # staged order: an email's host must not leak into later counts
+    one = pii_scrub_batch(
+        pa.table({"text": ["u@h555-0123-4567.com"]}), col="text")
+    assert one.column("n_email").to_pylist() == [1]
+    assert one.column("n_phone").to_pylist() == [0]
+    # empty batch keeps typed schema
+    empty = pii_scrub_batch(b.slice(0, 0), col="text")
+    assert empty.num_rows == 0
+    assert set(empty.schema.names) >= {"n_email", "n_ip", "n_phone",
+                                       "text_scrubbed"}

@@ -62,6 +62,34 @@ def regex_extract_batch(batch: pa.Table, *, col: str, pattern: str,
         out_col, pc.fill_null(pc.struct_field(ex, "m"), ""))
 
 
+# PII patterns (RE2 — identical semantics in Arrow and DuckDB). Applied in
+# this order; each stage counts matches on the PREVIOUS stage's output so a
+# redacted email's domain can't double-count as a hostname-ish phone.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\b\d{3}[- ]\d{3,4}[- ]\d{4}\b", "<PHONE>"),
+)
+
+
+def pii_scrub_batch(batch: pa.Table, *, col: str,
+                    out_col: str = "text_scrubbed") -> pa.Table:
+    """Redact emails / IPv4s / phone-shaped numbers from ``col`` and append
+    per-row redaction counts (``n_email``/``n_ip``/``n_phone``) — the
+    training-corpus PII pass. Fully vectorized RE2 kernels
+    (``count_substring_regex`` + ``replace_substring_regex``); DuckDB's
+    ``regexp_replace(..., 'g')``/``regexp_extract_all`` recompute the exact
+    same bytes, so the oracle is hash-exact."""
+    import pyarrow.compute as pc
+
+    t = batch.column(col)
+    for name, pat, token in PII_PATTERNS:
+        n = pc.cast(pc.count_substring_regex(t, pat), pa.int64())
+        batch = batch.append_column(f"n_{name}", n)
+        t = pc.replace_substring_regex(t, pat, token)
+    return batch.append_column(out_col, t)
+
+
 def repetition_signals_batch(batch: pa.Table, text_col: str = "text",
                              id_col: str = "doc_id") -> pa.Table:
     """Gopher-style repetition quality signals per document (Rae et al.

@@ -877,6 +877,34 @@ def _q_pii_scrub(sf_dir: str):
     )
 
 
+def _q_decontam(sf_dir: str):
+    """Benchmark decontamination: docs with doc_id % 25 == 0 form the
+    'eval benchmark'; every other doc is annotated with how many of its
+    distinct word 3-grams appear anywhere in the eval set. Eval hashes are
+    a bounded driver reduce + one ray.put broadcast; the train pass is one
+    vectorized searchsorted per batch (stages/decontam.py)."""
+    import pyarrow as pa
+
+    from xhs_ocr_ray.stages.decontam import (
+        collect_eval_ngram_hashes,
+        ngram_decontaminate,
+    )
+
+    def part(want_eval: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            mask = (ids % 25 == 0) if want_eval else (ids % 25 != 0)
+            return batch.filter(pa.array(mask, pa.bool_()))
+        return f
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ev = collect_eval_ngram_hashes(
+        docs.map_batches(part(True), batch_format="pyarrow"), n=3)
+    train = docs.map_batches(part(False), batch_format="pyarrow")
+    return ngram_decontaminate(train, ev, n=3).select_columns(
+        ["doc_id", "n_ngrams", "n_contam", "contaminated"])
+
+
 def _q_boilerplate_filter(sf_dir: str):
     """CCNet-style corpus boilerplate removal: derive a line-structured
     corpus (a per-source 'HDR <source>' header + 8-word chunks — the
@@ -1561,6 +1589,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jpeg_features": _q_jpeg_features,
         "boilerplate_filter": _q_boilerplate_filter,
         "pii_scrub": _q_pii_scrub,
+        "decontam": _q_decontam,
         "gif_features": _q_gif_features,
         "regex_extract": _q_regex_extract,
         "curation_pipeline": _q_curation_pipeline,
@@ -2249,6 +2278,37 @@ def oracle_sql() -> dict[str, str]:
               regexp_replace(t, '\\b\\d{3}[- ]\\d{3,4}[- ]\\d{4}\\b',
                 '<PHONE>', 'g') AS text_scrubbed
             FROM s2
+        """,
+        # -- decontamination: distinct word-3-gram overlap vs the
+        # doc_id%25==0 'benchmark'; same md5-prefix-64 hash both sides
+        "decontam": """
+            WITH tok AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS w
+              FROM documents
+            ), grams AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(array_to_string(w[i:i+2], ' ')),
+                                     1, 16))::UBIGINT AS h
+              FROM tok, UNNEST(range(1, len(w) - 1)) AS u(i)
+              WHERE len(w) >= 3
+            ), ev AS (
+              SELECT DISTINCT h FROM grams WHERE doc_id % 25 = 0
+            ), trd AS (
+              SELECT DISTINCT doc_id, h FROM grams WHERE doc_id % 25 <> 0
+            ), agg AS (
+              SELECT trd.doc_id,
+                     CAST(count(*) AS BIGINT) AS n_ngrams,
+                     CAST(count(ev.h) AS BIGINT) AS n_contam
+              FROM trd LEFT JOIN ev ON trd.h = ev.h
+              GROUP BY trd.doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(a.n_ngrams, 0) AS n_ngrams,
+                   COALESCE(a.n_contam, 0) AS n_contam,
+                   COALESCE(a.n_contam, 0) > 0 AS contaminated
+            FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+            WHERE d.doc_id % 25 <> 0
         """,
         # -- boilerplate removal: derived line corpus (HDR header repeats
         # per source → banned at min_docs=5); exact line/agg recomputation

@@ -905,6 +905,38 @@ def _q_decontam(sf_dir: str):
         ["doc_id", "n_ngrams", "n_contam", "contaminated"])
 
 
+def _q_paragraph_dedup(sf_dir: str):
+    """Corpus-level paragraph dedup over a derived paragraph-structured
+    corpus: every doc gets a per-source 'PROMO <source>' header, its
+    6-word chunks, and a shared global footer — the dedup keeps exactly
+    one copy of each repeated paragraph (first by (doc_id, position)) and
+    reassembles docs in order (stages/dedup.paragraph_dedup)."""
+    import pyarrow as pa
+
+    from xhs_ocr_ray.stages.dedup import paragraph_dedup
+
+    _FOOTER = "Shared footer boilerplate paragraph"
+
+    def derive(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        sources = batch.column("source").to_pylist()
+        out = []
+        for s, t in zip(sources, texts):
+            ws = [w for w in (t or "").split(" ") if w]
+            chunks = [" ".join(ws[i:i + 6]) for i in range(0, len(ws), 6)]
+            out.append("\n".join([f"PROMO {s}", *chunks, _FOOTER]))
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "text": pa.array(out, pa.string()),
+        })
+
+    corpus = (
+        _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
+        .map_batches(derive, batch_format="pyarrow")
+    )
+    return paragraph_dedup(corpus, text_col="text", id_col="doc_id")
+
+
 def _q_boilerplate_filter(sf_dir: str):
     """CCNet-style corpus boilerplate removal: derive a line-structured
     corpus (a per-source 'HDR <source>' header + 8-word chunks — the
@@ -1590,6 +1622,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boilerplate_filter": _q_boilerplate_filter,
         "pii_scrub": _q_pii_scrub,
         "decontam": _q_decontam,
+        "paragraph_dedup": _q_paragraph_dedup,
         "gif_features": _q_gif_features,
         "regex_extract": _q_regex_extract,
         "curation_pipeline": _q_curation_pipeline,
@@ -2309,6 +2342,38 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(a.n_contam, 0) > 0 AS contaminated
             FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
             WHERE d.doc_id % 25 <> 0
+        """,
+        # -- paragraph dedup: same derived paragraph corpus (PROMO header +
+        # 6-word chunks + shared footer); first-wins by (doc_id, position),
+        # ordered reassembly. pidx values differ from the Ray side but the
+        # ORDER (all that dedup/reassembly consume) is identical.
+        "paragraph_dedup": """
+            WITH tok AS (
+              SELECT doc_id, source,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS w
+              FROM documents
+            ), chunks AS (
+              SELECT doc_id, CAST((i - 1) // 6 + 1 AS BIGINT) AS pidx,
+                     array_to_string(w[i:i+5], ' ') AS para
+              FROM tok, UNNEST(range(1, len(w) + 1, 6)) AS u(i)
+            ), paras AS (
+              SELECT doc_id, CAST(0 AS BIGINT) AS pidx,
+                     'PROMO ' || source AS para FROM tok
+              UNION ALL
+              SELECT doc_id, pidx, para FROM chunks WHERE para <> ''
+              UNION ALL
+              SELECT doc_id, CAST(1000000 AS BIGINT) AS pidx,
+                     'Shared footer boilerplate paragraph' AS para FROM tok
+            ), firsts AS (
+              SELECT doc_id, pidx, para,
+                     row_number() OVER (PARTITION BY para
+                                        ORDER BY doc_id, pidx) AS rn
+              FROM paras
+            )
+            SELECT doc_id,
+                   string_agg(para, chr(10) ORDER BY pidx) AS text_dedup
+            FROM firsts WHERE rn = 1
+            GROUP BY doc_id
         """,
         # -- boilerplate removal: derived line corpus (HDR header repeats
         # per source → banned at min_docs=5); exact line/agg recomputation

@@ -317,3 +317,24 @@ def test_incremental_dedup_reads_only_matching_index_partitions(
     ).to_pandas().sort_values("doc_id")
     assert got.doc_id.tolist() == [101]
     assert isinstance(got, pd.DataFrame)
+
+
+def test_paragraph_dedup(ray_session):
+    import ray.data
+
+    from xhs_ocr_ray.stages.dedup import paragraph_dedup
+
+    docs = [
+        {"doc_id": 1, "text": "alpha\nshared footer\nbeta"},
+        {"doc_id": 2, "text": "shared footer\ngamma\n\ngamma"},
+        {"doc_id": 3, "text": "shared footer"},          # fully deduped away
+        {"doc_id": 4, "text": "alpha\ndelta"},
+    ]
+    ds = ray.data.from_items(docs, override_num_blocks=2)
+    out = (paragraph_dedup(ds, text_col="text", id_col="doc_id")
+           .to_pandas().set_index("doc_id").sort_index())
+    # first-wins by (doc_id, position); empties dropped; doc 3 vanishes
+    assert out.index.tolist() == [1, 2, 4]
+    assert out.loc[1, "text_dedup"] == "alpha\nshared footer\nbeta"
+    assert out.loc[2, "text_dedup"] == "gamma"
+    assert out.loc[4, "text_dedup"] == "delta"

@@ -93,6 +93,49 @@ def exact_dedup(ds, key_cols: list[str], order_col: str):
     )
 
 
+def paragraph_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                    sep: str = "\n", out_col: str = "text_dedup"):
+    """Corpus-level paragraph dedup (RefinedWeb / CCNet line-dedup family):
+    explode each document into its ``sep``-separated paragraphs, keep only
+    the globally FIRST occurrence of each distinct paragraph (order =
+    ``(doc_id, paragraph index)``), and reassemble every surviving document
+    from its remaining paragraphs in original order.
+
+    Three narrow stages: explode (pure map, ships ``(id, pidx, para)``
+    rows only) → first-wins :func:`exact_dedup` keyed on the paragraph
+    text (one bucketed exchange) → ordered reassembly via
+    :func:`~xhs_ocr_ray.stages.analytics.grouped_string_agg` (second
+    exchange, keyed on ``id_col``). Empty paragraphs are dropped on
+    explode; a document whose every paragraph was a duplicate disappears
+    from the output (SQL GROUP BY semantics — filter upstream if lossless
+    doc retention is needed).
+    """
+    from xhs_ocr_ray.stages.analytics import grouped_string_agg
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        out_id, out_pidx, out_para = [], [], []
+        for i, t in zip(ids, texts):
+            for j, p in enumerate((t or "").split(sep)):
+                if p:
+                    out_id.append(i)
+                    out_pidx.append(j)
+                    out_para.append(p)
+        id_type = batch.schema.field(id_col).type
+        return pa.table({
+            id_col: pa.array(out_id, id_type),
+            "pidx": pa.array(out_pidx, pa.int64()),
+            "para": pa.array(out_para, pa.string()),
+        })
+
+    paras = ds.select_columns([id_col, text_col]).map_batches(
+        explode, batch_format="pyarrow")
+    kept = exact_dedup(paras, ["para"], id_col)
+    return grouped_string_agg(
+        kept, [id_col], "para", ["pidx"], sep=sep, out_col=out_col)
+
+
 # --------------------------------------------------------------------------
 # MinHash-LSH near dedup
 # --------------------------------------------------------------------------

@@ -937,6 +937,23 @@ def _q_paragraph_dedup(sf_dir: str):
     return paragraph_dedup(corpus, text_col="text", id_col="doc_id")
 
 
+_MIX_TARGETS = {"src0": 0.5, "src1": 0.25, "src2": 0.125, "src3": 0.125}
+
+
+def _q_domain_mix(sf_dir: str):
+    """Domain-mixing sampler: rebalance the 8-source documents corpus to a
+    0.5/0.25/0.125/0.125 mix over src0-3 (others dropped) with
+    max-retention hash-threshold acceptance (stages/sampling.py).
+    Deterministic — the SQL oracle recomputes counts, the min-scale solve
+    and the md5 threshold with the identical float expression."""
+    from xhs_ocr_ray.stages.sampling import target_mix_sample
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
+    out = target_mix_sample(docs, group_col="source", content_col="text",
+                            targets=_MIX_TARGETS)
+    return out.select_columns(["doc_id", "source"])
+
+
 def _q_boilerplate_filter(sf_dir: str):
     """CCNet-style corpus boilerplate removal: derive a line-structured
     corpus (a per-source 'HDR <source>' header + 8-word chunks — the
@@ -1623,6 +1640,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub": _q_pii_scrub,
         "decontam": _q_decontam,
         "paragraph_dedup": _q_paragraph_dedup,
+        "domain_mix": _q_domain_mix,
         "gif_features": _q_gif_features,
         "regex_extract": _q_regex_extract,
         "curation_pipeline": _q_curation_pipeline,
@@ -2342,6 +2360,30 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(a.n_contam, 0) > 0 AS contaminated
             FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
             WHERE d.doc_id % 25 <> 0
+        """,
+        # -- domain mixing: identical count → min-scale → floor(rate*65536)
+        # float expression (left-assoc * and /), md5-prefix acceptance
+        "domain_mix": """
+            WITH t(src, target) AS (
+              VALUES ('src0', CAST(0.5 AS DOUBLE)),
+                     ('src1', CAST(0.25 AS DOUBLE)),
+                     ('src2', CAST(0.125 AS DOUBLE)),
+                     ('src3', CAST(0.125 AS DOUBLE))
+            ), c AS (
+              SELECT source, CAST(count(*) AS BIGINT) AS cnt
+              FROM documents GROUP BY source
+            ), s AS (
+              SELECT MIN(c.cnt / t.target) AS scale
+              FROM c JOIN t ON c.source = t.src
+            ), thr AS (
+              SELECT t.src,
+                     CAST(floor(t.target * s.scale / c.cnt * 65536)
+                          AS BIGINT) AS thr
+              FROM t JOIN c ON c.source = t.src CROSS JOIN s
+            )
+            SELECT d.doc_id, d.source
+            FROM documents d JOIN thr ON d.source = thr.src
+            WHERE ('0x' || substr(md5(d.text), 1, 4))::INT < thr.thr
         """,
         # -- paragraph dedup: same derived paragraph corpus (PROMO header +
         # 6-word chunks + shared footer); first-wins by (doc_id, position),

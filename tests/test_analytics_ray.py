@@ -311,3 +311,47 @@ def test_grouped_string_agg(ray_session):
             .to_pandas().sort_values("k").reset_index(drop=True)
         )
         assert out["s"].tolist() == ["a|b|c", "x|y"]
+
+
+def test_target_mix_sample(ray_session):
+    import ray.data
+    import pytest
+
+    from xhs_ocr_ray.stages.sampling import target_mix_sample
+
+    # 400 web / 100 code / 300 junk docs with distinct texts
+    rows = (
+        [{"doc_id": i, "source": "web", "text": f"web doc {i} {i*7}"}
+         for i in range(400)]
+        + [{"doc_id": 1000 + i, "source": "code", "text": f"code {i} x{i}"}
+           for i in range(100)]
+        + [{"doc_id": 2000 + i, "source": "junk", "text": f"junk {i}"}
+           for i in range(300)]
+    )
+    ds = ray.data.from_items(rows, override_num_blocks=4)
+    out = target_mix_sample(
+        ds, group_col="source", content_col="text",
+        targets={"web": 0.5, "code": 0.5}).to_pandas()
+    vc = out.source.value_counts()
+    # code (100/0.5=200) binds → kept whole; web downsamples toward 100
+    assert vc.get("code", 0) == 100
+    assert 80 <= vc.get("web", 0) <= 120
+    assert "junk" not in vc.index
+    # deterministic: second run keeps the identical doc_id set
+    out2 = target_mix_sample(
+        ds, group_col="source", content_col="text",
+        targets={"web": 0.5, "code": 0.5}).to_pandas()
+    assert sorted(out.doc_id) == sorted(out2.doc_id)
+    # explicit counts skip the measure pass and give the same answer
+    out3 = target_mix_sample(
+        ds, group_col="source", content_col="text",
+        targets={"web": 0.5, "code": 0.5},
+        counts={"web": 400, "code": 100, "junk": 300}).to_pandas()
+    assert sorted(out3.doc_id) == sorted(out.doc_id)
+
+    with pytest.raises(ValueError, match="positive"):
+        target_mix_sample(ds, group_col="source", content_col="text",
+                          targets={"web": 0.0})
+    with pytest.raises(ValueError, match="no target group"):
+        target_mix_sample(ds, group_col="source", content_col="text",
+                          targets={"nope": 1.0}, counts={"web": 1})

@@ -954,6 +954,19 @@ def _q_domain_mix(sf_dir: str):
     return out.select_columns(["doc_id", "source"])
 
 
+def _q_chunk_tokens(sf_dir: str):
+    """Sequence chunking for pretraining prep: 32-token windows every 24
+    tokens (overlapping stride) over each document — one output row per
+    chunk, no shuffle (stages/text_analysis.chunk_tokens_batch)."""
+    from xhs_ocr_ray.stages.text_analysis import chunk_tokens_batch
+
+    return (
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(chunk_tokens_batch, batch_format="pyarrow",
+                     fn_kwargs={"window": 32, "stride": 24})
+    )
+
+
 def _q_boilerplate_filter(sf_dir: str):
     """CCNet-style corpus boilerplate removal: derive a line-structured
     corpus (a per-source 'HDR <source>' header + 8-word chunks — the
@@ -1641,6 +1654,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontam": _q_decontam,
         "paragraph_dedup": _q_paragraph_dedup,
         "domain_mix": _q_domain_mix,
+        "chunk_tokens": _q_chunk_tokens,
         "gif_features": _q_gif_features,
         "regex_extract": _q_regex_extract,
         "curation_pipeline": _q_curation_pipeline,
@@ -2360,6 +2374,20 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(a.n_contam, 0) > 0 AS contaminated
             FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
             WHERE d.doc_id % 25 <> 0
+        """,
+        # -- sequence chunking: 32-token windows, stride 24; 1-based list
+        # slicing mirrors the Python token windows exactly
+        "chunk_tokens": """
+            WITH tok AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS w
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST((i - 1) // 24 AS BIGINT) AS chunk_idx,
+                   array_to_string(w[i:i+31], ' ') AS chunk_text,
+                   CAST(least(32, len(w) - i + 1) AS BIGINT) AS n_tokens
+            FROM tok, UNNEST(range(1, len(w) + 1, 24)) AS u(i)
         """,
         # -- domain mixing: identical count → min-scale → floor(rate*65536)
         # float expression (left-assoc * and /), md5-prefix acceptance

@@ -176,3 +176,33 @@ def test_pii_scrub_batch():
     assert empty.num_rows == 0
     assert set(empty.schema.names) >= {"n_email", "n_ip", "n_phone",
                                        "text_scrubbed"}
+
+
+def test_chunk_tokens_batch():
+    import pytest
+
+    from xhs_ocr_ray.stages.text_analysis import chunk_tokens_batch
+
+    b = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": ["a b c d e f g", "", "x  y"],
+    })
+    # non-overlapping windows of 3
+    out = chunk_tokens_batch(b, window=3).to_pandas()
+    got = list(zip(out.doc_id, out.chunk_idx, out.chunk_text, out.n_tokens))
+    assert got == [
+        (1, 0, "a b c", 3), (1, 1, "d e f", 3), (1, 2, "g", 1),
+        (3, 0, "x y", 2),
+    ]
+    # overlapping stride
+    ov = chunk_tokens_batch(b, window=4, stride=2).to_pandas()
+    first = ov[ov.doc_id == 1]
+    assert first.chunk_text.tolist() == [
+        "a b c d", "c d e f", "e f g", "g"]
+    assert first.n_tokens.tolist() == [4, 4, 3, 1]
+    with pytest.raises(ValueError):
+        chunk_tokens_batch(b, window=0)
+    empty = chunk_tokens_batch(b.slice(0, 0), window=3)
+    assert empty.num_rows == 0
+    assert empty.schema.names == ["doc_id", "chunk_idx", "chunk_text",
+                                  "n_tokens"]

@@ -330,3 +330,37 @@ def grouped_partial_counts(batch: pa.Table, group_cols: list[str],
         aggs["sum_val"] = (sum_col, "sum")
     out = df.groupby(group_cols, sort=True, dropna=False).agg(**aggs).reset_index()
     return arrow_from_pandas(out)
+
+
+def chunk_tokens_batch(batch: pa.Table, *, text_col: str = "text",
+                       id_col: str = "doc_id", window: int = 512,
+                       stride: int | None = None) -> pa.Table:
+    """Fixed-token-window sequence chunking — the "chunk" half of the
+    pretraining concat-and-chunk prep: each document's whitespace tokens
+    (``split(' ')`` with empties dropped — DuckDB ``list_filter``
+    semantics) are cut into windows of ``window`` tokens every ``stride``
+    tokens (default: non-overlapping). Emits one row per chunk:
+    ``(id, chunk_idx, chunk_text, n_tokens)``; empty docs emit nothing.
+    Pure per-batch fan-out — no shuffle, no state; ``flat_map``-shaped but
+    batched so the string joins stay amortized."""
+    if stride is None:
+        stride = window
+    if window <= 0 or stride <= 0:
+        raise ValueError("chunk_tokens_batch: window/stride must be > 0")
+    ids = batch.column(id_col).to_pylist()
+    texts = batch.column(text_col).to_pylist()
+    out_id, out_idx, out_text, out_n = [], [], [], []
+    for i, t in zip(ids, texts):
+        ws = [w for w in (t or "").split(" ") if w]
+        for j, start in enumerate(range(0, len(ws), stride)):
+            chunk = ws[start:start + window]
+            out_id.append(i)
+            out_idx.append(j)
+            out_text.append(" ".join(chunk))
+            out_n.append(len(chunk))
+    return pa.table({
+        id_col: pa.array(out_id, batch.schema.field(id_col).type),
+        "chunk_idx": pa.array(out_idx, pa.int64()),
+        "chunk_text": pa.array(out_text, pa.string()),
+        "n_tokens": pa.array(out_n, pa.int64()),
+    })

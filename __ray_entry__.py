@@ -967,6 +967,46 @@ def _q_chunk_tokens(sf_dir: str):
     )
 
 
+def _q_url_dedup(sf_dir: str):
+    """Canonical-URL dedup: four deterministic spellings of each page
+    (case/port/fragment/tracking-param variants; every 5th group also has
+    a genuinely distinct param spelling) collapse through
+    canonicalize_url_batch + first-wins exact_dedup. The oracle computes
+    the closed-form canonical per variant; the canonicalizer itself is
+    unit-tested rule by rule (tests/test_urls.py)."""
+    import pyarrow as pa
+
+    from xhs_ocr_ray.functions.urls import canonicalize_url_batch
+    from xhs_ocr_ray.stages.dedup import exact_dedup
+
+    def derive(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        urls = []
+        for doc_id in ids:
+            g, v = doc_id // 4, doc_id % 4
+            base = f"page{g}"
+            if v == 0:
+                u = f"http://Example.COM/{base}"
+            elif v == 1:
+                u = f"HTTP://example.com:80/{base}#frag"
+            elif v == 2:
+                u = (f"http://example.com/{base}?b=2&a=1" if g % 5 == 0
+                     else f"http://example.com/{base}?utm_source=x&fbclid=y")
+            else:
+                u = f"http://EXAMPLE.com:80/{base}?utm_campaign=z#x"
+            urls.append(u)
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "url": pa.array(urls, pa.string())})
+
+    ds = (
+        _read(sf_dir, "documents", columns=["doc_id"])
+        .map_batches(derive, batch_format="pyarrow")
+        .map_batches(canonicalize_url_batch, batch_format="pyarrow")
+    )
+    return exact_dedup(ds, ["url_canon"], "doc_id").select_columns(
+        ["doc_id", "url_canon"])
+
+
 def _q_boilerplate_filter(sf_dir: str):
     """CCNet-style corpus boilerplate removal: derive a line-structured
     corpus (a per-source 'HDR <source>' header + 8-word chunks — the
@@ -1655,6 +1695,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "paragraph_dedup": _q_paragraph_dedup,
         "domain_mix": _q_domain_mix,
         "chunk_tokens": _q_chunk_tokens,
+        "url_dedup": _q_url_dedup,
         "gif_features": _q_gif_features,
         "regex_extract": _q_regex_extract,
         "curation_pipeline": _q_curation_pipeline,
@@ -2374,6 +2415,23 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(a.n_contam, 0) > 0 AS contaminated
             FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
             WHERE d.doc_id % 25 <> 0
+        """,
+        # -- url dedup: closed-form canonical per derived variant
+        # (case/port/fragment/tracking collapse; g%5==0 v=2 keeps sorted
+        # real params), first-wins = min(doc_id) per canonical
+        "url_dedup": """
+            WITH d AS (
+              SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS v
+              FROM documents
+            ), canon AS (
+              SELECT doc_id,
+                     'http://example.com/page' || g ||
+                     CASE WHEN v = 2 AND g % 5 = 0
+                          THEN '?a=1&b=2' ELSE '' END AS url_canon
+              FROM d
+            )
+            SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, url_canon
+            FROM canon GROUP BY url_canon
         """,
         # -- sequence chunking: 32-token windows, stride 24; 1-based list
         # slicing mirrors the Python token windows exactly

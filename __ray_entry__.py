@@ -1007,6 +1007,16 @@ def _q_url_dedup(sf_dir: str):
         ["doc_id", "url_canon"])
 
 
+def _q_unigram_logprob(sf_dir: str):
+    """Unigram-LM quality score (CCNet perplexity-filter shape): per-doc
+    mean corpus log-prob in integer micro-nats; libm ln == DuckDB ln so
+    the quantized sums are bit-exact (stages/text_analysis.py)."""
+    from xhs_ocr_ray.stages.text_analysis import unigram_logprob
+
+    return unigram_logprob(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
 def _q_boilerplate_filter(sf_dir: str):
     """CCNet-style corpus boilerplate removal: derive a line-structured
     corpus (a per-source 'HDR <source>' header + 8-word chunks — the
@@ -1696,6 +1706,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_mix": _q_domain_mix,
         "chunk_tokens": _q_chunk_tokens,
         "url_dedup": _q_url_dedup,
+        "unigram_logprob": _q_unigram_logprob,
         "gif_features": _q_gif_features,
         "regex_extract": _q_regex_extract,
         "curation_pipeline": _q_curation_pipeline,
@@ -2415,6 +2426,36 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(a.n_contam, 0) > 0 AS contaminated
             FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
             WHERE d.doc_id % 25 <> 0
+        """,
+        # -- unigram LM score: integer micro-nat quantization makes every
+        # sum association-free; ln is libm on both engines
+        "unigram_logprob": """
+            WITH tok AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS w
+              FROM documents
+            ), ex AS (
+              SELECT doc_id, u.t AS token FROM tok, UNNEST(w) AS u(t)
+            ), tf AS (
+              SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+              FROM ex GROUP BY doc_id, token
+            ), cnt AS (
+              SELECT token, CAST(sum(tf) AS BIGINT) AS cnt
+              FROM tf GROUP BY token
+            ), tot AS (
+              SELECT CAST(sum(tf) AS DOUBLE) AS t FROM tf
+            ), lp AS (
+              SELECT token,
+                     CAST(floor(ln(cnt / tot.t) * 1000000) AS BIGINT) AS lpm
+              FROM cnt CROSS JOIN tot
+            )
+            SELECT f.doc_id,
+                   CAST(sum(f.tf) AS BIGINT) AS n_tokens,
+                   CAST(sum(f.tf * lp.lpm) AS BIGINT) AS logprob_micro,
+                   CAST(sum(f.tf * lp.lpm) AS DOUBLE)
+                     / CAST(sum(f.tf) AS DOUBLE) AS mean_logprob_micro
+            FROM tf f JOIN lp ON f.token = lp.token
+            GROUP BY f.doc_id
         """,
         # -- url dedup: closed-form canonical per derived variant
         # (case/port/fragment/tracking collapse; g%5==0 v=2 keeps sorted

@@ -355,3 +355,28 @@ def test_target_mix_sample(ray_session):
     with pytest.raises(ValueError, match="no target group"):
         target_mix_sample(ds, group_col="source", content_col="text",
                           targets={"nope": 1.0}, counts={"web": 1})
+
+
+def test_unigram_logprob(ray_session):
+    import math
+
+    import ray.data
+
+    from xhs_ocr_ray.stages.text_analysis import unigram_logprob
+
+    ds = ray.data.from_items([
+        {"doc_id": 1, "text": "a a b"},
+        {"doc_id": 2, "text": "a rare"},
+        {"doc_id": 3, "text": ""},
+    ], override_num_blocks=2)
+    out = unigram_logprob(ds).to_pandas().set_index("doc_id").sort_index()
+    # corpus: a=3, b=1, rare=1, total=5
+    assert out.index.tolist() == [1, 2]  # empty doc emits nothing
+    lp = {c: math.floor(math.log(n / 5.0) * 1_000_000)
+          for c, n in {"a": 3, "b": 1, "rare": 1}.items()}
+    assert out.loc[1, "logprob_micro"] == 2 * lp["a"] + lp["b"]
+    assert out.loc[1, "n_tokens"] == 3
+    assert out.loc[2, "logprob_micro"] == lp["a"] + lp["rare"]
+    # doc 2 has the rarer mix → lower mean log-prob
+    assert (out.loc[2, "mean_logprob_micro"]
+            < out.loc[1, "mean_logprob_micro"])

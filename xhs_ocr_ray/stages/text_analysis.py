@@ -364,3 +364,101 @@ def chunk_tokens_batch(batch: pa.Table, *, text_col: str = "text",
         "chunk_text": pa.array(out_text, pa.string()),
         "n_tokens": pa.array(out_n, pa.int64()),
     })
+
+
+def unigram_logprob(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                    micro: int = 1_000_000):
+    """Corpus-self-trained unigram LM score per document — the shape of
+    CCNet's perplexity quality filter (Wenzek et al. 2020) with the LM
+    replaced by the corpus's own unigram MLE: each doc gets the mean over
+    its token occurrences of ``ln(count(token) / total_tokens)``. Unusual
+    token mixes score low.
+
+    Composition: tokenize once (``doc_token_tf``, materialized — it feeds
+    three consumers) → global token counts via partial-counts + Sum (one
+    narrow token shuffle) → per-token log-prob QUANTIZED to integer
+    micro-nats (``floor(ln(p) * micro)``) so every downstream sum is an
+    association-free integer and the DuckDB oracle is bit-exact
+    (``math.log`` is libm — identical to DuckDB ``ln``; np.log is NOT) →
+    counts attached back to tf rows with the bucketed hash join (the
+    vocabulary is never broadcast) → per-doc integer sums via per-block
+    partial combine + one small ``groupby(id).Sum``.
+
+    Output: ``(id, n_tokens, logprob_micro, mean_logprob_micro)`` — one
+    row per doc with ≥1 token.
+    """
+    import math
+
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from xhs_ocr_ray.functions.arrow import arrow_from_pandas
+    from xhs_ocr_ray.stages.dedup import _bucket_attach
+
+    tf_ds = ds.select_columns([id_col, text_col]).map_batches(
+        doc_token_tf, batch_format="pyarrow",
+        fn_kwargs={"text_col": text_col, "id_col": id_col}).materialize()
+
+    def partial_cnt(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "token": batch.column("token").to_pylist(),
+            "tf": batch.column("tf").to_numpy(zero_copy_only=False),
+        })
+        out = df.groupby("token", sort=False)["tf"].sum().reset_index(
+            name="cnt")
+        return arrow_from_pandas(out)
+
+    counts = (tf_ds.map_batches(partial_cnt, batch_format="pyarrow")
+              .groupby("token").aggregate(Sum("cnt", alias_name="cnt")))
+
+    total = tf_ds.aggregate(Sum("tf", alias_name="t"))["t"]
+    t = float(total)
+
+    def to_lpm(batch: pa.Table) -> pa.Table:
+        # one libm log per DISTINCT token (not per occurrence)
+        cs = batch.column("cnt").to_pylist()
+        lpm = [math.floor(math.log(c / t) * micro) for c in cs]
+        return pa.table({
+            "token": batch.column("token"),
+            "lpm": pa.array(lpm, pa.int64()),
+        })
+
+    lp = counts.map_batches(to_lpm, batch_format="pyarrow")
+
+    joined = _bucket_attach(
+        tf_ds, "token", lp, "token", "lpm", "lpm",
+        left_schema=pa.schema([(id_col, pa.int64()),
+                               ("token", pa.string()),
+                               ("tf", pa.int64())]),
+        val_type=pa.int64())
+
+    def partial_doc(batch: pa.Table) -> pa.Table:
+        tf = batch.column("tf").to_numpy(zero_copy_only=False)
+        lpm = batch.column("lpm").to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            id_col: batch.column(id_col).to_pylist(),
+            "n_tokens": tf,
+            "logprob_micro": tf * lpm,
+        })
+        out = df.groupby(id_col, sort=False).sum().reset_index()
+        return arrow_from_pandas(out)
+
+    agg = (joined.map_batches(partial_doc, batch_format="pyarrow")
+           .groupby(id_col)
+           .aggregate(Sum("n_tokens", alias_name="n_tokens"),
+                      Sum("logprob_micro", alias_name="logprob_micro")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        n = pc.cast(batch.column("n_tokens"), pa.int64())
+        s = pc.cast(batch.column("logprob_micro"), pa.int64())
+        mean = pc.divide(pc.cast(s, pa.float64()), pc.cast(n, pa.float64()))
+        return pa.table({
+            id_col: batch.column(id_col),
+            "n_tokens": n,
+            "logprob_micro": s,
+            "mean_logprob_micro": mean,
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")

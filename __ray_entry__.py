@@ -1017,6 +1017,23 @@ def _q_unigram_logprob(sf_dir: str):
         _read(sf_dir, "documents", columns=["doc_id", "text"]))
 
 
+def _q_keyword_search(sf_dir: str):
+    """Inverted-index AND search: build (or reuse) the hive-partitioned
+    posting-list index over documents, then find docs containing both
+    'table' and 'hash' reading only the two terms' token-bucket dirs
+    (stages/search.py)."""
+    import os as _os
+
+    from xhs_ocr_ray.stages.search import InvertedIndex
+
+    idx_dir = _os.path.join(
+        "/tmp/xhs_inv_index", f"{_source_tag(sf_dir, 'documents')}_v1")
+    idx = InvertedIndex(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        index_dir=idx_dir, reuse_existing=True)
+    return idx.search(["table", "hash"], mode="and")
+
+
 def _q_boilerplate_filter(sf_dir: str):
     """CCNet-style corpus boilerplate removal: derive a line-structured
     corpus (a per-source 'HDR <source>' header + 8-word chunks — the
@@ -1707,6 +1724,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_tokens": _q_chunk_tokens,
         "url_dedup": _q_url_dedup,
         "unigram_logprob": _q_unigram_logprob,
+        "keyword_search": _q_keyword_search,
         "gif_features": _q_gif_features,
         "regex_extract": _q_regex_extract,
         "curation_pipeline": _q_curation_pipeline,
@@ -2426,6 +2444,18 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(a.n_contam, 0) > 0 AS contaminated
             FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
             WHERE d.doc_id % 25 <> 0
+        """,
+        # -- keyword search: AND over ('table','hash'); n_matched for an
+        # AND hit is by construction the full term count
+        "keyword_search": """
+            WITH tok AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS w
+              FROM documents
+            )
+            SELECT doc_id, CAST(2 AS BIGINT) AS n_matched
+            FROM tok
+            WHERE list_contains(w, 'table') AND list_contains(w, 'hash')
         """,
         # -- unigram LM score: integer micro-nat quantization makes every
         # sum association-free; ln is libm on both engines

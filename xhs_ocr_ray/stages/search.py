@@ -1,0 +1,149 @@
+"""Inverted-index keyword search over a document corpus.
+
+Same partitioned-posting-list architecture as the ANN LSH index
+(:class:`~xhs_ocr_ray.stages.similarity.LshIndexSearch`): the build is one
+``map_batches`` tokenize pass written as hive-partitioned parquet
+(``tb=<token-hash-bucket>/``), posting lists never touch the driver, and a
+query reads ONLY its terms' bucket directories (path-level pruning —
+partition columns are invisible at fragment-scan time, so pruning is by
+PATH, never ``filter=``). Token buckets use an md5-based hash, not Python
+``hash()`` (which is salted per process and would send probe and build to
+different buckets).
+
+Search semantics: AND (docs containing every query term) or OR (any term),
+ranked by number of distinct matched terms. The match aggregation is a
+per-block partial count + one tiny ``groupby(doc).Sum`` over rows already
+pruned to the probed buckets — at 100 TB the cost scales with the probed
+posting lists, not the corpus.
+
+``index_dir`` contract matches the LSH index: shared storage on a real
+cluster; ``reuse_existing`` honors the ``_INDEX_BUILT`` marker and the
+atomic tmp→rename build means an interrupted build never leaves partial
+parquet behind.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from xhs_ocr_ray.functions.arrow import read_parquet_clean
+from xhs_ocr_ray.functions.hashing import md5_hex
+
+
+def _token_bucket(token: str, num_buckets: int) -> int:
+    return int(md5_hex(token)[:8], 16) % num_buckets
+
+
+class InvertedIndex:
+    """Build once, search many — keyword lookup over partitioned parquet
+    posting lists of distinct ``(token, doc_id)`` pairs."""
+
+    def __init__(self, ds, *, text_col: str = "text", id_col: str = "doc_id",
+                 num_buckets: int = 64, index_dir: str | None = None,
+                 reuse_existing: bool = False):
+        from xhs_ocr_ray.stages.similarity import _index_dir
+
+        self.text_col, self.id_col = text_col, id_col
+        self.num_buckets = num_buckets
+        self.index_dir = _index_dir(index_dir, "inv")
+        self.reuse_existing = reuse_existing
+        self._built = False
+        self._build(ds)
+
+    def _build(self, ds) -> None:
+        import os
+        import shutil
+        import uuid
+
+        text_col, id_col = self.text_col, self.id_col
+        nb = self.num_buckets
+        marker = os.path.join(self.index_dir, "_INDEX_BUILT")
+        if self.reuse_existing and os.path.exists(marker):
+            self._built = True
+            return
+
+        def postings(batch: pa.Table) -> pa.Table:
+            ids = batch.column(id_col).to_pylist()
+            texts = batch.column(text_col).to_pylist()
+            out_tb, out_tok, out_id = [], [], []
+            for i, t in zip(ids, texts):
+                for tok in {w for w in (t or "").split(" ") if w}:
+                    out_tb.append(_token_bucket(tok, nb))
+                    out_tok.append(tok)
+                    out_id.append(i)
+            return pa.table({
+                "tb": pa.array(out_tb, pa.int64()),
+                "token": pa.array(out_tok, pa.string()),
+                id_col: pa.array(out_id, pa.int64()),
+            })
+
+        tmp_dir = f"{self.index_dir}.build.{uuid.uuid4().hex}"
+        try:
+            (ds.select_columns([id_col, text_col])
+             .map_batches(postings, batch_format="pyarrow")
+             .write_parquet(tmp_dir, partition_cols=["tb"]))
+            with open(os.path.join(tmp_dir, "_INDEX_BUILT"), "w") as f:
+                f.write("ok\n")
+            if os.path.isdir(self.index_dir):
+                shutil.rmtree(self.index_dir)
+            os.rename(tmp_dir, self.index_dir)
+            self._built = True
+        finally:
+            shutil.rmtree(tmp_dir, ignore_errors=True)
+
+    def search(self, terms: list[str], *, mode: str = "and"):
+        """Dataset of ``(id, n_matched)`` — docs matching ALL (``and``) or
+        ANY (``or``) of ``terms``, counting distinct matched terms. Reads
+        only the terms' ``tb=<b>/`` partition dirs."""
+        import os
+
+        import pandas as pd
+        import ray.data
+        from ray.data.aggregate import Sum
+
+        from xhs_ocr_ray.functions.arrow import arrow_from_pandas
+
+        if mode not in ("and", "or"):
+            raise ValueError(f"search: mode must be 'and'|'or', got {mode!r}")
+        terms = sorted(set(terms))
+        if not terms or not self._built:
+            return ray.data.from_items([], override_num_blocks=1)
+        id_col = self.id_col
+        buckets = sorted({_token_bucket(t, self.num_buckets) for t in terms})
+        dirs = [p for p in
+                (os.path.join(self.index_dir, f"tb={b}") for b in buckets)
+                if os.path.isdir(p)]
+        files = [os.path.join(p, f) for p in dirs
+                 for f in sorted(os.listdir(p)) if f.endswith(".parquet")]
+        if not files:
+            return ray.data.from_items([], override_num_blocks=1)
+        want = pa.array(terms, pa.string())
+        need = len(terms)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            hit = batch.filter(pc.is_in(batch.column("token"), want))
+            df = pd.DataFrame({
+                id_col: hit.column(id_col).to_pylist(),
+                "n_matched": np.ones(hit.num_rows, dtype=np.int64),
+            })
+            out = df.groupby(id_col, sort=False).sum().reset_index()
+            return arrow_from_pandas(out)
+
+        agg = (read_parquet_clean(files, columns=["token", id_col])
+               .map_batches(partial, batch_format="pyarrow")
+               .groupby(id_col)
+               .aggregate(Sum("n_matched", alias_name="n_matched")))
+
+        def finish(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            n = pc.cast(batch.column("n_matched"), pa.int64())
+            out = pa.table({id_col: batch.column(id_col), "n_matched": n})
+            if mode == "and":
+                out = out.filter(pc.equal(n, need))
+            return out
+
+        return agg.map_batches(finish, batch_format="pyarrow")

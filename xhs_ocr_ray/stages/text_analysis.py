@@ -395,9 +395,13 @@ def unigram_logprob(ds, *, text_col: str = "text", id_col: str = "doc_id",
     from xhs_ocr_ray.functions.arrow import arrow_from_pandas
     from xhs_ocr_ray.stages.dedup import _bucket_attach
 
-    tf_ds = ds.select_columns([id_col, text_col]).map_batches(
+    from xhs_ocr_ray.stages.components import _compact
+
+    # compact once: tf is consumed three times and every downstream
+    # exchange pays per-block overhead (CLAUDE.md tiny-block rule)
+    tf_ds = _compact(ds.select_columns([id_col, text_col]).map_batches(
         doc_token_tf, batch_format="pyarrow",
-        fn_kwargs={"text_col": text_col, "id_col": id_col}).materialize()
+        fn_kwargs={"text_col": text_col, "id_col": id_col}).materialize())
 
     def partial_cnt(batch: pa.Table) -> pa.Table:
         df = pd.DataFrame({
@@ -408,8 +412,9 @@ def unigram_logprob(ds, *, text_col: str = "text", id_col: str = "doc_id",
             name="cnt")
         return arrow_from_pandas(out)
 
-    counts = (tf_ds.map_batches(partial_cnt, batch_format="pyarrow")
-              .groupby("token").aggregate(Sum("cnt", alias_name="cnt")))
+    counts = (_compact(
+        tf_ds.map_batches(partial_cnt, batch_format="pyarrow").materialize())
+        .groupby("token").aggregate(Sum("cnt", alias_name="cnt")))
 
     total = tf_ds.aggregate(Sum("tf", alias_name="t"))["t"]
     t = float(total)
@@ -443,8 +448,12 @@ def unigram_logprob(ds, *, text_col: str = "text", id_col: str = "doc_id",
         out = df.groupby(id_col, sort=False).sum().reset_index()
         return arrow_from_pandas(out)
 
-    agg = (joined.map_batches(partial_doc, batch_format="pyarrow")
-           .groupby(id_col)
+    # the bucketed attach emits one block per bucket; compact the (tiny)
+    # per-doc partials first or the final sort-groupby pays per-block cost
+    # (CLAUDE.md: tiny-block proliferation)
+    part = _compact(
+        joined.map_batches(partial_doc, batch_format="pyarrow").materialize())
+    agg = (part.groupby(id_col)
            .aggregate(Sum("n_tokens", alias_name="n_tokens"),
                       Sum("logprob_micro", alias_name="logprob_micro")))
 

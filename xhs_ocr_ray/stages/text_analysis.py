@@ -262,8 +262,15 @@ def tfidf_topk(ds, *, text_col: str = "text", id_col: str = "doc_id",
         n_docs = ds.count()
     n = float(n_docs)
 
-    tf_ds = ds.map_batches(doc_token_tf, batch_format="pyarrow",
-                           fn_kwargs={"text_col": text_col, "id_col": id_col})
+    from xhs_ocr_ray.stages.components import _compact
+
+    # materialize+compact: tf rows feed BOTH the df pass and the attach
+    # (lazy tf would tokenize twice), and compacted partials keep the
+    # sort-groupby off the tiny-block cliff (CLAUDE.md)
+    tf_ds = _compact(
+        ds.map_batches(doc_token_tf, batch_format="pyarrow",
+                       fn_kwargs={"text_col": text_col,
+                                  "id_col": id_col}).materialize())
 
     def partial_df(batch: pa.Table) -> pa.Table:
         import pandas as pd
@@ -275,7 +282,8 @@ def tfidf_topk(ds, *, text_col: str = "text", id_col: str = "doc_id",
         return arrow_from_pandas(out)
 
     df_ds = (
-        tf_ds.map_batches(partial_df, batch_format="pyarrow")
+        _compact(tf_ds.map_batches(partial_df,
+                                   batch_format="pyarrow").materialize())
         .groupby("token")
         .aggregate(Sum("df_n", alias_name="df"))
     )
@@ -307,9 +315,14 @@ def tfidf_topk(ds, *, text_col: str = "text", id_col: str = "doc_id",
                                ascending=[False, True, True],
                                kind="mergesort").head(k)
 
+    # local top-k leaves ≤k rows per bucket block; compact before the
+    # k-row global sort (sort cost is ~linear in block COUNT)
+    local = _compact(
+        joined.map_batches(score_and_local_topk,
+                           batch_format="pandas").materialize())
     return (
-        joined.map_batches(score_and_local_topk, batch_format="pandas")
-        .sort(["tfidf", "token", id_col], descending=[True, False, False])
+        local.sort(["tfidf", "token", id_col],
+                   descending=[True, False, False])
         .limit(k)
     )
 

@@ -1433,14 +1433,18 @@ def _q_outer_join(sf_dir: str):
     from xhs_ocr_ray.stages.bucketing import default_num_buckets
     from xhs_ocr_ray.stages.joins import shuffle_join
 
+    from xhs_ocr_ray.stages.components import _compact
+
     def bucketed_count(ds, key: str, out: str):
         # partial per-block counts + ONE exchange (cheaper than the
         # sort-based native groupby for a plain count); back to Arrow
-        # blocks for shuffle_join's schema contract
+        # blocks for shuffle_join's schema contract. Compact the 256
+        # bucket slivers so the join's own exchange isn't block-bound.
         specs = {out: (key, "count")}
-        return _merge_level(_partial_combine(ds, [key], specs), [key],
-                            specs, default_num_buckets()) \
+        agg = _merge_level(_partial_combine(ds, [key], specs), [key],
+                           specs, default_num_buckets()) \
             .map_batches(strip_schema_metadata, batch_format="pyarrow")
+        return _compact(agg.materialize())
 
     left = bucketed_count(
         _read(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"])

@@ -1034,6 +1034,70 @@ def _q_keyword_search(sf_dir: str):
     return idx.search(["table", "hash"], mode="and")
 
 
+def _q_llm_corpus_pipeline(sf_dir: str):
+    """End-to-end training-corpus assembly as ONE composed pipeline:
+    PII scrub → min-length quality gate → benchmark decontamination
+    (doc_id%25==0 eval set, drop overlapping train docs) → domain-mixing
+    rebalance (src0-3 targets, rates measured on the SURVIVORS) →
+    32-token sequence chunking. Every stage is individually
+    oracle-checked; this query checks the composition end to end.
+    The survivor set is materialized once before the mix (it is consumed
+    by both the count pass and the filter; at 100-TB scale this
+    checkpoint is a partitioned-parquet write, same contract)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from xhs_ocr_ray.stages.decontam import (
+        collect_eval_ngram_hashes,
+        ngram_decontaminate,
+    )
+    from xhs_ocr_ray.stages.sampling import target_mix_sample
+    from xhs_ocr_ray.stages.text_analysis import (
+        chunk_tokens_batch,
+        pii_scrub_batch,
+    )
+
+    def rescope(batch: pa.Table) -> pa.Table:
+        # scrubbed text becomes THE text; keep the narrow projection
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "source": batch.column("source"),
+            "text": batch.column("text_scrubbed"),
+        })
+
+    def gate(batch: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(batch.column("text"), pattern=r"\S+")
+        return batch.filter(pc.greater_equal(n, 10))
+
+    def part(want_eval: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            mask = (ids % 25 == 0) if want_eval else (ids % 25 != 0)
+            return batch.filter(pa.array(mask, pa.bool_()))
+        return f
+
+    gated = (
+        _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
+        .map_batches(pii_scrub_batch, batch_format="pyarrow",
+                     fn_kwargs={"col": "text"})
+        .map_batches(rescope, batch_format="pyarrow")
+        .map_batches(gate, batch_format="pyarrow")
+    )
+    ev = collect_eval_ngram_hashes(
+        gated.map_batches(part(True), batch_format="pyarrow"), n=4)
+    survivors = (
+        ngram_decontaminate(
+            gated.map_batches(part(False), batch_format="pyarrow"),
+            ev, n=4, drop=True)
+        .select_columns(["doc_id", "source", "text"])
+        .materialize()
+    )
+    mixed = target_mix_sample(survivors, group_col="source",
+                              content_col="text", targets=_MIX_TARGETS)
+    return mixed.map_batches(chunk_tokens_batch, batch_format="pyarrow",
+                             fn_kwargs={"window": 32})
+
+
 def _q_boilerplate_filter(sf_dir: str):
     """CCNet-style corpus boilerplate removal: derive a line-structured
     corpus (a per-source 'HDR <source>' header + 8-word chunks — the
@@ -1729,6 +1793,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_dedup": _q_url_dedup,
         "unigram_logprob": _q_unigram_logprob,
         "keyword_search": _q_keyword_search,
+        "llm_corpus_pipeline": _q_llm_corpus_pipeline,
         "gif_features": _q_gif_features,
         "regex_extract": _q_regex_extract,
         "curation_pipeline": _q_curation_pipeline,
@@ -2448,6 +2513,75 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(a.n_contam, 0) > 0 AS contaminated
             FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
             WHERE d.doc_id % 25 <> 0
+        """,
+        # -- composed corpus pipeline: scrub → ≥10-token gate → 4-gram
+        # decontam drop → domain mix (rates measured on survivors) →
+        # 32-token chunks; every sub-expression matches its standalone
+        # oracle above
+        "llm_corpus_pipeline": """
+            WITH s1 AS (
+              SELECT doc_id, source,
+                regexp_replace(text,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                  '<EMAIL>', 'g') AS t
+              FROM documents
+            ), s2 AS (
+              SELECT doc_id, source,
+                regexp_replace(t,
+                  '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                  '<IP>', 'g') AS t
+              FROM s1
+            ), scrub AS (
+              SELECT doc_id, source,
+                regexp_replace(t, '\\b\\d{3}[- ]\\d{3,4}[- ]\\d{4}\\b',
+                  '<PHONE>', 'g') AS t
+              FROM s2
+            ), gated AS (
+              SELECT doc_id, source, t,
+                     list_filter(string_split(t, ' '), x -> x <> '') AS w
+              FROM scrub
+              WHERE len(regexp_extract_all(t, '\\S+')) >= 10
+            ), grams AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(array_to_string(g.w[i:i+3], ' ')),
+                                     1, 16))::UBIGINT AS h
+              FROM gated g, UNNEST(range(1, len(g.w) - 2)) AS u(i)
+              WHERE len(g.w) >= 4
+            ), ev AS (
+              SELECT DISTINCT h FROM grams WHERE doc_id % 25 = 0
+            ), contam AS (
+              SELECT DISTINCT g.doc_id FROM grams g JOIN ev ON g.h = ev.h
+              WHERE g.doc_id % 25 <> 0
+            ), train AS (
+              SELECT * FROM gated
+              WHERE doc_id % 25 <> 0
+                AND doc_id NOT IN (SELECT doc_id FROM contam)
+            ), tgt(src, target) AS (
+              VALUES ('src0', CAST(0.5 AS DOUBLE)),
+                     ('src1', CAST(0.25 AS DOUBLE)),
+                     ('src2', CAST(0.125 AS DOUBLE)),
+                     ('src3', CAST(0.125 AS DOUBLE))
+            ), c AS (
+              SELECT source, CAST(count(*) AS BIGINT) AS cnt
+              FROM train GROUP BY source
+            ), sc AS (
+              SELECT MIN(c.cnt / tgt.target) AS scale
+              FROM c JOIN tgt ON c.source = tgt.src
+            ), thr AS (
+              SELECT tgt.src,
+                     CAST(floor(tgt.target * sc.scale / c.cnt * 65536)
+                          AS BIGINT) AS thr
+              FROM tgt JOIN c ON c.source = tgt.src CROSS JOIN sc
+            ), kept AS (
+              SELECT tr.doc_id, tr.w FROM train tr
+              JOIN thr ON tr.source = thr.src
+              WHERE ('0x' || substr(md5(tr.t), 1, 4))::INT < thr.thr
+            )
+            SELECT doc_id,
+                   CAST((i - 1) // 32 AS BIGINT) AS chunk_idx,
+                   array_to_string(w[i:i+31], ' ') AS chunk_text,
+                   CAST(least(32, len(w) - i + 1) AS BIGINT) AS n_tokens
+            FROM kept, UNNEST(range(1, len(w) + 1, 32)) AS u(i)
         """,
         # -- keyword search: AND over ('table','hash'); n_matched for an
         # AND hit is by construction the full term count

@@ -81,3 +81,57 @@ def test_batch_doc_classes_matches_per_row(urls):
 
     got = batch_doc_classes(pa.array(urls, pa.string()), {})
     assert got == [doc_class_of(u) for u in urls]
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(_url_st, min_size=0, max_size=20))
+def test_canonical_url_idempotent(urls):
+    from xhs_ocr_ray.functions.urls import canonical_url
+
+    for u in urls:
+        c = canonical_url(u)
+        assert canonical_url(c) == c, (u, c)
+
+
+_doc_st = st.text(
+    alphabet=st.sampled_from(list("ab xyz0189      ")), max_size=80)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(_doc_st, min_size=0, max_size=12),
+       st.integers(min_value=1, max_value=9))
+def test_chunk_tokens_partition_roundtrip(texts, window):
+    """Non-overlapping windows partition the tokens exactly: chunk sizes
+    sum to the token count and re-joining chunks reproduces the
+    space-normalized document."""
+    import pyarrow as pa
+
+    from xhs_ocr_ray.stages.text_analysis import chunk_tokens_batch
+
+    b = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    out = chunk_tokens_batch(b, window=window).to_pandas()
+    for i, t in enumerate(texts):
+        toks = [w for w in t.split(" ") if w]
+        mine = out[out.doc_id == i].sort_values("chunk_idx")
+        assert int(mine.n_tokens.sum()) == len(toks)
+        assert " ".join(mine.chunk_text) == " ".join(toks)
+        assert all(n == window for n in mine.n_tokens[:-1].tolist())
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(_doc_st, min_size=0, max_size=10))
+def test_pii_scrub_never_leaves_matches(texts):
+    import pyarrow as pa
+
+    from xhs_ocr_ray.stages.text_analysis import (
+        PII_PATTERNS,
+        pii_scrub_batch,
+    )
+
+    b = pa.table({"text": pa.array(texts, pa.string())})
+    out = pii_scrub_batch(b, col="text")
+    import re
+    for s in out.column("text_scrubbed").to_pylist():
+        for _, pat, _tok in PII_PATTERNS:
+            assert not re.search(pat, s), (s, pat)

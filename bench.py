@@ -26,22 +26,16 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 REPLICAS = int(os.environ.get("BENCH_REPLICAS", "64"))
 
-QUERY_NAMES = [
-    "window_filter", "related_merge", "related_count", "unrelated_merge", "exact_dedup",
-    "lineage_metrics", "pricing_summary", "token_count", "quality_score",
-    "fingerprint", "ann_topk", "ann_index_topk", "ann_ivf_topk", "minhash_dedup", "simhash_dedup",
-    "embedding_neardup", "lang_id", "lang_id_cjk", "sidecar_join", "sidecar_typed", "semi_join", "anti_join",
-    "top_customers", "count_distinct", "window_tumbling", "sessionize",
-    "hopping_window", "hash_split", "token_topk", "ngram_jaccard",
-    "png_features", "asof_join", "range_join",
-    "grouped_topk", "grouped_quantiles", "tfidf_topk", "shuffle_join",
-    "keyed_window", "rollup_agg", "cube_agg", "pivot_events",
-    "quantile_filter", "repetition_signals", "incremental_dedup",
-    "outer_join", "stratified_sample", "hll_distinct", "range_join_grid",
-    "string_agg", "jsonl_source", "gif_features", "regex_extract",
-    "curation_pipeline", "csv_source", "warc_source", "bigram_topk",
-    "audio_features", "jpeg_features", "boilerplate_filter",
-]
+# Every queries() entry is benched except the pages-corpus pair, whose cost
+# is the headline pipeline itself. Derived dynamically so a new query can
+# never be silently left out of BENCH_r{N}.
+BENCH_EXCLUDED = {"extract_pages", "lineage_pages"}
+
+
+def query_names() -> list[str]:
+    import __ray_entry__ as entrymod
+
+    return [n for n in entrymod.queries() if n not in BENCH_EXCLUDED]
 
 
 def run_headline() -> tuple[float, int]:
@@ -82,7 +76,7 @@ def run_queries() -> dict[str, float]:
 
     qs = entrymod.queries()
     out: dict[str, float] = {}
-    for name in QUERY_NAMES:
+    for name in query_names():
         t0 = time.perf_counter()
         res = qs[name](SF_DIR)
         if hasattr(res, "to_pandas"):

@@ -1098,6 +1098,20 @@ def _q_llm_corpus_pipeline(sf_dir: str):
                              fn_kwargs={"window": 32})
 
 
+def _q_compression_ratio(sf_dir: str):
+    """Gopher/RefinedWeb compression-ratio repetition proxy per doc —
+    deterministic (fixed zlib level) but deflate has no SQL analog, so
+    this entry is intentionally oracle-less (driver rows-only check);
+    exact values are pinned in tests/test_text_analysis.py."""
+    from xhs_ocr_ray.stages.text_analysis import compression_ratio_batch
+
+    return (
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(compression_ratio_batch, batch_format="pyarrow")
+        .select_columns(["doc_id", "n_bytes", "comp_ratio"])
+    )
+
+
 def _q_boilerplate_filter(sf_dir: str):
     """CCNet-style corpus boilerplate removal: derive a line-structured
     corpus (a per-source 'HDR <source>' header + 8-word chunks — the
@@ -1794,6 +1808,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_logprob": _q_unigram_logprob,
         "keyword_search": _q_keyword_search,
         "llm_corpus_pipeline": _q_llm_corpus_pipeline,
+        "compression_ratio": _q_compression_ratio,
         "gif_features": _q_gif_features,
         "regex_extract": _q_regex_extract,
         "curation_pipeline": _q_curation_pipeline,

@@ -206,3 +206,23 @@ def test_chunk_tokens_batch():
     assert empty.num_rows == 0
     assert empty.schema.names == ["doc_id", "chunk_idx", "chunk_text",
                                   "n_tokens"]
+
+
+def test_compression_ratio_batch():
+    import zlib
+
+    from xhs_ocr_ray.stages.text_analysis import compression_ratio_batch
+
+    rep = "spam " * 200
+    rnd = "k9 qz7 xv1 wm3 hb8 dn5 tj2 lf6 rg4 cp0"
+    b = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                  "text": [rep, rnd, ""]})
+    out = compression_ratio_batch(b)
+    nb = out.column("n_bytes").to_pylist()
+    cr = out.column("comp_ratio").to_pylist()
+    assert nb == [1000, len(rnd.encode()), 0]
+    # pinned exact values: zlib is deterministic at a fixed level
+    assert cr[0] == len(zlib.compress(rep.encode(), 6)) / 1000
+    assert cr[2] == 0.0
+    # repetitive text compresses far below diverse text
+    assert cr[0] < 0.05 < 0.5 < cr[1]

@@ -484,3 +484,27 @@ def unigram_logprob(ds, *, text_col: str = "text", id_col: str = "doc_id",
         })
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def compression_ratio_batch(batch: pa.Table, *, col: str = "text",
+                            level: int = 6) -> pa.Table:
+    """Append ``comp_ratio`` = deflate(text) bytes / utf-8 bytes (and
+    ``n_bytes``) — the compression-ratio repetition/quality proxy used by
+    Gopher (Rae et al. 2021) and RefinedWeb: highly repetitive or
+    boilerplate text compresses far below ~0.6, random text sits near 1.
+    zlib is deterministic for a fixed level, so results are stable across
+    runs, but no SQL engine exposes deflate — this operator is
+    intentionally NOT oracle-checked (the driver's rows-only check
+    applies); the unit tests pin exact values instead. Empty text →
+    ratio 0.0."""
+    import zlib
+
+    texts = batch.column(col).to_pylist()
+    nb, ratio = [], []
+    for t in texts:
+        raw = (t or "").encode("utf-8")
+        nb.append(len(raw))
+        ratio.append(
+            len(zlib.compress(raw, level)) / len(raw) if raw else 0.0)
+    return (batch.append_column("n_bytes", pa.array(nb, pa.int64()))
+            .append_column("comp_ratio", pa.array(ratio, pa.float64())))

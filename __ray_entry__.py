@@ -1098,6 +1098,44 @@ def _q_llm_corpus_pipeline(sf_dir: str):
                              fn_kwargs={"window": 32})
 
 
+def _q_arrow_ipc_source(sf_dir: str):
+    """File-tolerant Arrow IPC read: events re-encoded as 4 .arrow shards
+    plus one deliberately corrupt shard — the broken file costs exactly
+    one quarantined row (sources/jsonl.read_arrow_ipc_tolerant)."""
+    import os as _os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from xhs_ocr_ray.sources.jsonl import read_arrow_ipc_tolerant
+
+    cache = "/tmp/xhs_arrow_cache"
+    tag = _source_tag(sf_dir, "events")
+    d = _os.path.join(cache, f"events_{tag}_v1")
+    if not _os.path.isdir(d):
+        _os.makedirs(cache, exist_ok=True)
+        tmp = d + ".tmp"
+        _os.makedirs(tmp, exist_ok=True)
+        t = pq.read_table(_os.path.join(sf_dir, "events.parquet"),
+                          columns=["event_id", "user_id", "event_type"])
+        n = t.num_rows
+        for i in range(4):
+            shard = t.slice(i * n // 4, (i + 1) * n // 4 - i * n // 4)
+            with pa.OSFile(_os.path.join(tmp, f"part{i}.arrow"), "wb") as f:
+                with pa.ipc.new_file(f, shard.schema) as w:
+                    w.write_table(shard)
+        with open(_os.path.join(tmp, "broken.arrow"), "wb") as f:
+            f.write(b"ARROW1\x00\x00 this is not a valid ipc footer")
+        _os.rename(tmp, d)
+    files = sorted(
+        _os.path.join(d, f) for f in _os.listdir(d) if f.endswith(".arrow"))
+    return read_arrow_ipc_tolerant(files, {
+        "event_id": pa.int64(),
+        "user_id": pa.int64(),
+        "event_type": pa.string(),
+    })
+
+
 def _q_compression_ratio(sf_dir: str):
     """Gopher/RefinedWeb compression-ratio repetition proxy per doc —
     deterministic (fixed zlib level) but deflate has no SQL analog, so
@@ -1809,6 +1847,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "keyword_search": _q_keyword_search,
         "llm_corpus_pipeline": _q_llm_corpus_pipeline,
         "compression_ratio": _q_compression_ratio,
+        "arrow_ipc_source": _q_arrow_ipc_source,
         "gif_features": _q_gif_features,
         "regex_extract": _q_regex_extract,
         "curation_pipeline": _q_curation_pipeline,
@@ -2528,6 +2567,16 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(a.n_contam, 0) > 0 AS contaminated
             FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
             WHERE d.doc_id % 25 <> 0
+        """,
+        # -- arrow ipc source: every events row survives with status ok;
+        # the one corrupt shard quarantines as a single null row
+        "arrow_ipc_source": """
+            SELECT event_id, user_id, event_type,
+                   'ok' AS status
+            FROM events
+            UNION ALL
+            SELECT CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+                   CAST(NULL AS VARCHAR), 'invalid'
         """,
         # -- composed corpus pipeline: scrub → ≥10-token gate → 4-gram
         # decontam drop → domain mix (rates measured on survivors) →

@@ -294,3 +294,33 @@ def test_read_warc_pages(ray_session, tmp_path):
         + b"GARBAGE TRAILING BYTES"
     rows = list(_parse_warc(data))
     assert [r[0] for r in rows] == ["https://a.example/x"]
+
+
+def test_read_arrow_ipc_tolerant(ray_session, tmp_path):
+    import pyarrow as pa
+
+    from xhs_ocr_ray.sources.jsonl import read_arrow_ipc_tolerant
+
+    good = pa.table({
+        "event_id": pa.array([1, 2], pa.int64()),
+        "user_id": pa.array([10, 20], pa.int32()),   # narrower type: cast
+        "extra": ["x", "y"],                         # undeclared: dropped
+    })
+    p1 = tmp_path / "a.arrow"
+    with pa.OSFile(str(p1), "wb") as f, pa.ipc.new_file(f, good.schema) as w:
+        w.write_table(good)
+    p2 = tmp_path / "broken.arrow"
+    p2.write_bytes(b"not arrow at all")
+
+    schema = {"event_id": pa.int64(), "user_id": pa.int64(),
+              "missing_col": pa.string()}
+    out = (read_arrow_ipc_tolerant([str(p1), str(p2)], schema)
+           .to_pandas().sort_values("status").reset_index(drop=True))
+    assert len(out) == 3
+    invalid = out[out.status == "invalid"]
+    assert len(invalid) == 1 and invalid.event_id.isna().all()
+    ok = out[out.status == "ok"].sort_values("event_id")
+    assert ok.event_id.tolist() == [1, 2]
+    assert ok.user_id.tolist() == [10, 20]          # cast int32 -> int64
+    assert ok.missing_col.isna().all()              # typed nulls
+    assert "extra" not in out.columns

@@ -125,3 +125,47 @@ def read_csv_tolerant(paths, schema: dict[str, pa.DataType], *,
 
     return ray.data.read_text(paths, **read_kwargs).map_batches(
         parse, batch_format="pyarrow")
+
+
+def read_arrow_ipc_tolerant(paths, schema: dict[str, pa.DataType], *,
+                            status_col: str = "status"):
+    """File-tolerant Arrow IPC (``.arrow`` / Feather v2) source with the
+    same projection contract as :func:`read_jsonl_tolerant`: declared
+    columns are cast onto ``schema`` (missing → typed nulls, extra
+    dropped). IPC corruption is detected per FILE (the format has no
+    line-level recovery point), so a broken shard costs exactly one
+    quarantined ``'invalid'`` row — never a task retry loop.
+
+    Built on ``read_binary_files`` (one shard = one block row), so IPC
+    shards must be block-sized — the same contract as the WARC source.
+    """
+    import ray.data
+
+    names = list(schema)
+
+    def parse(batch: pa.Table) -> pa.Table:
+        out: list[pa.Table] = []
+        for buf in batch.column("bytes"):
+            try:
+                t = pa.ipc.open_file(pa.BufferReader(buf.as_py())).read_all()
+                arrays = {}
+                for n, typ in schema.items():
+                    if n in t.column_names:
+                        arrays[n] = t.column(n).cast(typ)
+                    else:
+                        arrays[n] = pa.nulls(t.num_rows, typ)
+                arrays[status_col] = pa.array(
+                    ["ok"] * t.num_rows, pa.string())
+                out.append(pa.table(arrays))
+            except Exception:  # noqa: BLE001 — shard-local quarantine
+                arrays = {n: pa.nulls(1, typ) for n, typ in schema.items()}
+                arrays[status_col] = pa.array(["invalid"], pa.string())
+                out.append(pa.table(arrays))
+        if not out:
+            arrays = {n: pa.nulls(0, typ) for n, typ in schema.items()}
+            arrays[status_col] = pa.array([], pa.string())
+            return pa.table(arrays)
+        return pa.concat_tables(out)
+
+    return ray.data.read_binary_files(paths).map_batches(
+        parse, batch_format="pyarrow")

@@ -1136,6 +1136,17 @@ def _q_arrow_ipc_source(sf_dir: str):
     })
 
 
+def _q_repeated_windows(sf_dir: str):
+    """Corpus-internal repeated-substring detection (Lee et al. substring
+    dedup at token-window granularity): per doc, the count/fraction of its
+    distinct 6-token runs that also occur in another document
+    (stages/dedup.repeated_window_signals)."""
+    from xhs_ocr_ray.stages.dedup import repeated_window_signals
+
+    return repeated_window_signals(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]), window=6)
+
+
 def _q_compression_ratio(sf_dir: str):
     """Gopher/RefinedWeb compression-ratio repetition proxy per doc —
     deterministic (fixed zlib level) but deflate has no SQL analog, so
@@ -1848,6 +1859,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "llm_corpus_pipeline": _q_llm_corpus_pipeline,
         "compression_ratio": _q_compression_ratio,
         "arrow_ipc_source": _q_arrow_ipc_source,
+        "repeated_windows": _q_repeated_windows,
         "gif_features": _q_gif_features,
         "regex_extract": _q_regex_extract,
         "curation_pipeline": _q_curation_pipeline,
@@ -2567,6 +2579,30 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(a.n_contam, 0) > 0 AS contaminated
             FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
             WHERE d.doc_id % 25 <> 0
+        """,
+        # -- repeated windows: distinct 6-token runs per doc; a run's row
+        # set is distinct per doc so count(*) per hash IS the doc count
+        "repeated_windows": """
+            WITH tok AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS w
+              FROM documents
+            ), win AS (
+              SELECT DISTINCT doc_id,
+                     CAST(('0x' || substr(md5(array_to_string(w[i:i+5], ' ')),
+                                          1, 15))::UBIGINT AS BIGINT) AS h
+              FROM tok, UNNEST(range(1, len(w) - 4)) AS u(i)
+              WHERE len(w) >= 6
+            ), c AS (
+              SELECT h FROM win GROUP BY h HAVING count(*) >= 2
+            )
+            SELECT win.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_windows,
+                   CAST(count(c.h) AS BIGINT) AS n_dup_windows,
+                   CAST(count(c.h) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                     AS dup_frac
+            FROM win LEFT JOIN c ON win.h = c.h
+            GROUP BY win.doc_id
         """,
         # -- arrow ipc source: every events row survives with status ok;
         # the one corrupt shard quarantines as a single null row

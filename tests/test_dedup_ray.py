@@ -338,3 +338,22 @@ def test_paragraph_dedup(ray_session):
     assert out.loc[1, "text_dedup"] == "alpha\nshared footer\nbeta"
     assert out.loc[2, "text_dedup"] == "gamma"
     assert out.loc[4, "text_dedup"] == "delta"
+
+
+def test_repeated_window_signals(ray_session):
+    import ray.data
+
+    from xhs_ocr_ray.stages.dedup import repeated_window_signals
+
+    ds = ray.data.from_items([
+        {"doc_id": 1, "text": "a b c d e f g h"},   # 3 windows, 1 shared
+        {"doc_id": 2, "text": "a b c d e f x y"},   # 3 windows, 1 shared
+        {"doc_id": 3, "text": "zz yy xx ww vv uu tt"},  # unique
+        {"doc_id": 4, "text": "short"},             # no window: excluded
+    ], override_num_blocks=2)
+    out = (repeated_window_signals(ds, window=6)
+           .to_pandas().set_index("doc_id").sort_index())
+    assert out.index.tolist() == [1, 2, 3]
+    assert out.n_windows.tolist() == [3, 3, 2]
+    assert out.n_dup_windows.tolist() == [1, 1, 0]
+    assert out.dup_frac.tolist() == [1 / 3, 1 / 3, 0.0]

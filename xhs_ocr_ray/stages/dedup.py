@@ -845,3 +845,106 @@ def incremental_exact_dedup(new_ds, index_dir: str, *, fp_col: str,
     finally:
         shutil.rmtree(staging, ignore_errors=True)
     return survivors
+
+
+def repeated_window_signals(ds, *, text_col: str = "text",
+                            id_col: str = "doc_id", window: int = 50):
+    """Corpus-internal repeated-substring detection — the detection core of
+    suffix-array substring dedup (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better"), approximated at token-window
+    granularity: for every document, how many of its distinct
+    ``window``-token runs also appear in ANOTHER document.
+
+    Stages (all narrow, compaction per the tiny-block rule):
+    tokenize → distinct window md5-60-bit hashes per doc (one row per (doc,
+    hash), materialized once — consumed by the count pass AND the attach)
+    → cross-doc frequency via partial counts + ``Sum`` (one hash-keyed
+    exchange; a window's row set is distinct per doc, so the count IS the
+    distinct-doc count) → hashes with count ≥ 2 attached back with the
+    bucketed join (never broadcast — at corpus scale the dup-window set is
+    unbounded) → per-doc partial sums + tiny ``Sum`` groupby.
+
+    Output: ``(id, n_windows, n_dup_windows, dup_frac)`` per doc with ≥ 1
+    window; ``dup_frac`` is a single IEEE division (oracle-exact).
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from xhs_ocr_ray.functions.arrow import arrow_from_pandas
+    from xhs_ocr_ray.functions.hashing import md5_hex
+    from xhs_ocr_ray.stages.components import _compact
+
+    def win_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        out_id, out_h = [], []
+        for i, t in zip(ids, texts):
+            ws = [w for w in (t or "").split(" ") if w]
+            # 60-bit md5 prefix: stays inside int64 (uint64 values above
+            # 2^63 break the pandas leg of the bucket shuffle)
+            hs = {
+                int(md5_hex(" ".join(ws[j:j + window]))[:15], 16)
+                for j in range(len(ws) - window + 1)
+            }
+            out_id.extend([i] * len(hs))
+            out_h.extend(hs)
+        return pa.table({
+            id_col: pa.array(out_id, pa.int64()),
+            "h": pa.array(out_h, pa.int64()),
+        })
+
+    win = _compact(ds.select_columns([id_col, text_col]).map_batches(
+        win_rows, batch_format="pyarrow").materialize())
+
+    def partial_cnt(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"h": batch.column("h").to_numpy(
+            zero_copy_only=False)})
+        out = df.groupby("h", sort=False).size().reset_index(name="n")
+        return arrow_from_pandas(out)
+
+    counts = (_compact(win.map_batches(partial_cnt,
+                                       batch_format="pyarrow").materialize())
+              .groupby("h").aggregate(Sum("n", alias_name="n")))
+    def typed_counts(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "h": pc.cast(batch.column("h"), pa.int64()),
+            "n": pc.cast(batch.column("n"), pa.int64()),
+        })
+
+    cnt = counts.map_batches(typed_counts, batch_format="pyarrow")
+
+    # every window hash matches its own count row (count >= 1 by
+    # construction), so _bucket_attach's inner join preserves ALL windows
+    joined = _bucket_attach(
+        win, "h", cnt, "h", "n", "doc_n",
+        left_schema=pa.schema([(id_col, pa.int64()), ("h", pa.int64())]),
+        val_type=pa.int64())
+
+    def partial_doc(batch: pa.Table) -> pa.Table:
+        doc_n = batch.column("doc_n").to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            id_col: batch.column(id_col).to_pylist(),
+            "n_windows": np.ones(batch.num_rows, dtype=np.int64),
+            "n_dup_windows": (doc_n >= 2).astype(np.int64),
+        })
+        return arrow_from_pandas(
+            df.groupby(id_col, sort=False).sum().reset_index())
+
+    agg = (_compact(joined.map_batches(partial_doc,
+                                       batch_format="pyarrow").materialize())
+           .groupby(id_col)
+           .aggregate(Sum("n_windows", alias_name="n_windows"),
+                      Sum("n_dup_windows", alias_name="n_dup_windows")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = pc.cast(batch.column("n_windows"), pa.int64())
+        d = pc.cast(batch.column("n_dup_windows"), pa.int64())
+        return pa.table({
+            id_col: batch.column(id_col),
+            "n_windows": n,
+            "n_dup_windows": d,
+            "dup_frac": pc.divide(pc.cast(d, pa.float64()),
+                                  pc.cast(n, pa.float64())),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -896,22 +896,26 @@ def repeated_window_signals(ds, *, text_col: str = "text",
     win = _compact(ds.select_columns([id_col, text_col]).map_batches(
         win_rows, batch_format="pyarrow").materialize())
 
-    def partial_cnt(batch: pa.Table) -> pa.Table:
-        df = pd.DataFrame({"h": batch.column("h").to_numpy(
-            zero_copy_only=False)})
-        out = df.groupby("h", sort=False).size().reset_index(name="n")
-        return arrow_from_pandas(out)
+    # cross-doc frequency: window hashes are near-unique (≈ one group per
+    # hash), so Ray's native sort-groupby pays per-GROUP cost — use the
+    # repo's 256-way bucketed exchange instead (CLAUDE.md rule; the native
+    # groupby took 24.7 s vs ~1.5 s for this exact stage at sf0.1)
+    def bucket_sum(group: pd.DataFrame) -> pd.DataFrame:
+        return group.groupby("h", sort=False).size().reset_index(name="n")
 
-    counts = (_compact(win.map_batches(partial_cnt,
-                                       batch_format="pyarrow").materialize())
-              .groupby("h").aggregate(Sum("n", alias_name="n")))
     def typed_counts(batch: pa.Table) -> pa.Table:
         return pa.table({
             "h": pc.cast(batch.column("h"), pa.int64()),
             "n": pc.cast(batch.column("n"), pa.int64()),
         })
 
-    cnt = counts.map_batches(typed_counts, batch_format="pyarrow")
+    cnt = (win.select_columns(["h"])
+           .map_batches(_add_key_bucket, batch_format="pyarrow",
+                        fn_kwargs={"key_cols": ["h"],
+                                   "num_buckets": default_num_buckets()})
+           .groupby("__kb")
+           .map_groups(bucket_sum, batch_format="pandas")
+           .map_batches(typed_counts, batch_format="pyarrow"))
 
     # every window hash matches its own count row (count >= 1 by
     # construction), so _bucket_attach's inner join preserves ALL windows

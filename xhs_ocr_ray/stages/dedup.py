@@ -868,7 +868,6 @@ def repeated_window_signals(ds, *, text_col: str = "text",
     window; ``dup_frac`` is a single IEEE division (oracle-exact).
     """
     import pyarrow.compute as pc
-    from ray.data.aggregate import Sum
 
     from xhs_ocr_ray.functions.arrow import arrow_from_pandas
     from xhs_ocr_ray.functions.hashing import md5_hex
@@ -934,11 +933,16 @@ def repeated_window_signals(ds, *, text_col: str = "text",
         return arrow_from_pandas(
             df.groupby(id_col, sort=False).sum().reset_index())
 
-    agg = (_compact(joined.map_batches(partial_doc,
-                                       batch_format="pyarrow").materialize())
-           .groupby(id_col)
-           .aggregate(Sum("n_windows", alias_name="n_windows"),
-                      Sum("n_dup_windows", alias_name="n_dup_windows")))
+    # per-doc reduce through the bucketed exchange (doc ids are near-
+    # unique keys — native sort-groupby pays per-GROUP cost at scale)
+    from xhs_ocr_ray.stages.analytics import _merge_level
+
+    agg = _merge_level(
+        joined.map_batches(partial_doc, batch_format="pyarrow"),
+        [id_col],
+        {"n_windows": ("n_windows", "sum"),
+         "n_dup_windows": ("n_dup_windows", "sum")},
+        default_num_buckets())
 
     def finish(batch: pa.Table) -> pa.Table:
         n = pc.cast(batch.column("n_windows"), pa.int64())

@@ -100,7 +100,6 @@ class InvertedIndex:
 
         import pandas as pd
         import ray.data
-        from ray.data.aggregate import Sum
 
         from xhs_ocr_ray.functions.arrow import arrow_from_pandas
 
@@ -132,10 +131,16 @@ class InvertedIndex:
             out = df.groupby(id_col, sort=False).sum().reset_index()
             return arrow_from_pandas(out)
 
-        agg = (read_parquet_clean(files, columns=["token", id_col])
-               .map_batches(partial, batch_format="pyarrow")
-               .groupby(id_col)
-               .aggregate(Sum("n_matched", alias_name="n_matched")))
+        # per-doc reduce through the bucketed exchange (doc ids are
+        # near-unique keys — native sort-groupby pays per-GROUP cost)
+        from xhs_ocr_ray.stages.analytics import _merge_level
+        from xhs_ocr_ray.stages.bucketing import default_num_buckets
+
+        agg = _merge_level(
+            read_parquet_clean(files, columns=["token", id_col])
+            .map_batches(partial, batch_format="pyarrow"),
+            [id_col], {"n_matched": ("n_matched", "sum")},
+            default_num_buckets())
 
         def finish(batch: pa.Table) -> pa.Table:
             import pyarrow.compute as pc

@@ -461,14 +461,18 @@ def unigram_logprob(ds, *, text_col: str = "text", id_col: str = "doc_id",
         out = df.groupby(id_col, sort=False).sum().reset_index()
         return arrow_from_pandas(out)
 
-    # the bucketed attach emits one block per bucket; compact the (tiny)
-    # per-doc partials first or the final sort-groupby pays per-block cost
-    # (CLAUDE.md: tiny-block proliferation)
-    part = _compact(
-        joined.map_batches(partial_doc, batch_format="pyarrow").materialize())
-    agg = (part.groupby(id_col)
-           .aggregate(Sum("n_tokens", alias_name="n_tokens"),
-                      Sum("logprob_micro", alias_name="logprob_micro")))
+    # per-doc reduce through the bucketed exchange, NOT the native
+    # groupby: doc ids are near-unique keys and Ray's sort-groupby pays
+    # per-GROUP cost (fine at 5k docs, melts at billions)
+    from xhs_ocr_ray.stages.analytics import _merge_level
+    from xhs_ocr_ray.stages.bucketing import default_num_buckets
+
+    agg = _merge_level(
+        joined.map_batches(partial_doc, batch_format="pyarrow"),
+        [id_col],
+        {"n_tokens": ("n_tokens", "sum"),
+         "logprob_micro": ("logprob_micro", "sum")},
+        default_num_buckets())
 
     def finish(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc

@@ -427,15 +427,21 @@ def _q_anti_join(sf_dir: str):
 
 def _q_top_customers(sf_dir: str):
     """Top-10 customers by order count (groupby → sort → limit)."""
-    from ray.data.aggregate import Count
 
-    return (
-        _read(sf_dir, "orders", columns=["o_custkey"])
-        .groupby("o_custkey")
-        .aggregate(Count(alias_name="n_orders"))
-        .sort(["n_orders", "o_custkey"], descending=[True, False])
-        .limit(10)
-    )
+    from xhs_ocr_ray.stages.analytics import _merge_level, _partial_combine
+    from xhs_ocr_ray.stages.bucketing import default_num_buckets
+    from xhs_ocr_ray.stages.components import _compact
+
+    # custkeys are near-unique at scale: bucketed exchange, then compact
+    # the 256 sliver blocks before the k-row sort
+    specs = {"n_orders": ("o_custkey", "count")}
+    agg = _merge_level(
+        _partial_combine(_read(sf_dir, "orders", columns=["o_custkey"]),
+                         ["o_custkey"], specs),
+        ["o_custkey"], specs, default_num_buckets())
+    return (_compact(agg.materialize())
+            .sort(["n_orders", "o_custkey"], descending=[True, False])
+            .limit(10))
 
 
 def _q_count_distinct(sf_dir: str):
@@ -561,14 +567,19 @@ def _q_token_topk(sf_dir: str):
         df = pd.DataFrame({"token": list(c.keys()), "n": list(c.values())})
         return arrow_from_pandas(df)
 
-    return (
+    from xhs_ocr_ray.stages.analytics import _merge_level
+    from xhs_ocr_ray.stages.bucketing import default_num_buckets
+    from xhs_ocr_ray.stages.components import _compact
+
+    agg = _merge_level(
         _read(sf_dir, "documents", columns=["text"])
         .map_batches(partial_counts, batch_format="pyarrow")
-        .groupby("token")
-        .aggregate(Sum("n", alias_name="n_total"))
-        .sort(["n_total", "token"], descending=[True, False])
-        .limit(20)
-    )
+        .map_batches(lambda b: b.rename_columns(["token", "n_total"]),
+                     batch_format="pyarrow"),
+        ["token"], {"n_total": ("n_total", "sum")}, default_num_buckets())
+    return (_compact(agg.materialize())
+            .sort(["n_total", "token"], descending=[True, False])
+            .limit(20))
 
 
 def _q_bigram_topk(sf_dir: str):
@@ -599,14 +610,21 @@ def _q_bigram_topk(sf_dir: str):
             "n": pd.Series(list(c.values()), dtype="int64"),
         }))
 
-    return (
+    from xhs_ocr_ray.stages.analytics import _merge_level
+    from xhs_ocr_ray.stages.bucketing import default_num_buckets
+    from xhs_ocr_ray.stages.components import _compact
+
+    agg = _merge_level(
         _read(sf_dir, "documents", columns=["text"])
         .map_batches(partial_counts, batch_format="pyarrow")
-        .groupby(["tok_a", "tok_b"])
-        .aggregate(Sum("n", alias_name="n_total"))
-        .sort(["n_total", "tok_a", "tok_b"], descending=[True, False, False])
-        .limit(10)
-    )
+        .map_batches(lambda b: b.rename_columns(
+            ["tok_a", "tok_b", "n_total"]), batch_format="pyarrow"),
+        ["tok_a", "tok_b"], {"n_total": ("n_total", "sum")},
+        default_num_buckets())
+    return (_compact(agg.materialize())
+            .sort(["n_total", "tok_a", "tok_b"],
+                  descending=[True, False, False])
+            .limit(10))
 
 
 def _derived_dup_corpus(sf_dir: str, table: str, id_col: str, val_col: str,

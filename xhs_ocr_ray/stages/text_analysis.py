@@ -277,16 +277,22 @@ def tfidf_topk(ds, *, text_col: str = "text", id_col: str = "doc_id",
 
         out = (
             pd.DataFrame({"token": batch.column("token").to_pylist()})
-            .groupby("token", sort=False).size().reset_index(name="df_n")
+            .groupby("token", sort=False).size().reset_index(name="df")
         )
         return arrow_from_pandas(out)
 
-    df_ds = (
-        _compact(tf_ds.map_batches(partial_df,
-                                   batch_format="pyarrow").materialize())
-        .groupby("token")
-        .aggregate(Sum("df_n", alias_name="df"))
-    )
+    # token vocabulary is near-unique at web scale — bucketed exchange,
+    # not the native per-group sort-groupby
+    from xhs_ocr_ray.stages.analytics import _merge_level
+    from xhs_ocr_ray.stages.bucketing import default_num_buckets
+
+    df_ds = _merge_level(
+        tf_ds.map_batches(partial_df, batch_format="pyarrow"),
+        ["token"], {"df": ("df", "sum")}, default_num_buckets()
+    ).map_batches(lambda b: pa.table({
+        "token": b.column("token").cast(pa.string()),
+        "df": b.column("df").cast(pa.int64()),
+    }), batch_format="pyarrow")
 
     left_schema = pa.schema(
         [(id_col, pa.int64()), ("token", pa.string()), ("tf", pa.int64())]
@@ -425,9 +431,14 @@ def unigram_logprob(ds, *, text_col: str = "text", id_col: str = "doc_id",
             name="cnt")
         return arrow_from_pandas(out)
 
-    counts = (_compact(
-        tf_ds.map_batches(partial_cnt, batch_format="pyarrow").materialize())
-        .groupby("token").aggregate(Sum("cnt", alias_name="cnt")))
+    # token vocabulary is near-unique at web scale — bucketed exchange,
+    # not the native per-group sort-groupby
+    from xhs_ocr_ray.stages.analytics import _merge_level
+    from xhs_ocr_ray.stages.bucketing import default_num_buckets
+
+    counts = _merge_level(
+        tf_ds.map_batches(partial_cnt, batch_format="pyarrow"),
+        ["token"], {"cnt": ("cnt", "sum")}, default_num_buckets())
 
     total = tf_ds.aggregate(Sum("tf", alias_name="t"))["t"]
     t = float(total)

@@ -75,8 +75,6 @@ def hopping_counts(ds, key_col: str, ts_col: str, *, window_us: int,
     """Events per (key, hopping window): window w covers
     ``[w*slide, w*slide + window)``; each event explodes into
     ``window/slide`` rows, then a partial-agg groupby sums counts."""
-    from ray.data.aggregate import Sum
-
     n_windows = max(1, window_us // slide_us)
 
     def explode(batch: pa.Table) -> pa.Table:
@@ -95,11 +93,18 @@ def hopping_counts(ds, key_col: str, ts_col: str, *, window_us: int,
         agg = df.groupby([key_col, "window_id"], sort=False).size().reset_index(name="n")
         return arrow_from_pandas(agg)
 
-    return (
-        ds.map_batches(explode, batch_format="pyarrow")
-        .groupby([key_col, "window_id"])
-        .aggregate(Sum("n", alias_name="n_events"))
-    )
+    # (key, window) cardinality is users x windows — near-unique at web
+    # scale, so the reduce goes through the bucketed exchange, not the
+    # native per-group sort-groupby
+    from xhs_ocr_ray.stages.analytics import _merge_level
+    from xhs_ocr_ray.stages.bucketing import default_num_buckets
+
+    partial = ds.map_batches(explode, batch_format="pyarrow").map_batches(
+        lambda b: b.rename_columns(
+            [key_col, "window_id", "n_events"]), batch_format="pyarrow")
+    return _merge_level(partial, [key_col, "window_id"],
+                        {"n_events": ("n_events", "sum")},
+                        default_num_buckets())
 
 
 def tumbling_counts(ds, key_col: str, ts_col: str, *, window_us: int):

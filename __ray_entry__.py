@@ -1165,6 +1165,40 @@ def _q_repeated_windows(sf_dir: str):
         _read(sf_dir, "documents", columns=["doc_id", "text"]), window=6)
 
 
+def _q_sentence_stats(sf_dir: str):
+    """Vectorized sentence segmentation over a derived punctuated corpus
+    (7-word chunks closed by './!/?' cycling on doc_id + chunk index):
+    RE2 split on both engines ⇒ boundary-identical stats
+    (stages/text_analysis.sentence_stats_batch)."""
+    import pyarrow as pa
+
+    from xhs_ocr_ray.stages.text_analysis import sentence_stats_batch
+
+    _ENDERS = (". ", "! ", "? ")
+
+    def derive(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out = []
+        for doc_id, t in zip(ids, texts):
+            ws = [w for w in (t or "").split(" ") if w]
+            parts = []
+            for k, i in enumerate(range(0, len(ws), 7)):
+                parts.append(" ".join(ws[i:i + 7])
+                             + _ENDERS[(doc_id + k) % 3])
+            out.append("".join(parts))
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "text": pa.array(out, pa.string())})
+
+    return (
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(derive, batch_format="pyarrow")
+        .map_batches(sentence_stats_batch, batch_format="pyarrow")
+        .select_columns(["doc_id", "n_sentences", "sum_sent_chars",
+                         "mean_sentence_len"])
+    )
+
+
 def _q_compression_ratio(sf_dir: str):
     """Gopher/RefinedWeb compression-ratio repetition proxy per doc —
     deterministic (fixed zlib level) but deflate has no SQL analog, so
@@ -1878,6 +1912,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compression_ratio": _q_compression_ratio,
         "arrow_ipc_source": _q_arrow_ipc_source,
         "repeated_windows": _q_repeated_windows,
+        "sentence_stats": _q_sentence_stats,
         "gif_features": _q_gif_features,
         "regex_extract": _q_regex_extract,
         "curation_pipeline": _q_curation_pipeline,
@@ -2597,6 +2632,39 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(a.n_contam, 0) > 0 AS contaminated
             FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
             WHERE d.doc_id % 25 <> 0
+        """,
+        # -- sentence stats: same derived punctuated text, same RE2 split
+        # (string_split_regex == Arrow split_pattern_regex)
+        "sentence_stats": """
+            WITH tok AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS w
+              FROM documents
+            ), chunks AS (
+              SELECT doc_id, i,
+                     array_to_string(w[i:i+6], ' ')
+                     || CASE ((doc_id + (i - 1) // 7) % 3)
+                        WHEN 0 THEN '. ' WHEN 1 THEN '! ' ELSE '? ' END AS c
+              FROM tok, UNNEST(range(1, len(w) + 1, 7)) AS u(i)
+            ), txt AS (
+              SELECT doc_id, string_agg(c, '' ORDER BY i) AS t
+              FROM chunks GROUP BY doc_id
+            ), sents AS (
+              SELECT d.doc_id,
+                     list_filter(string_split_regex(COALESCE(txt.t, ''),
+                                                    '[.!?]+ +'),
+                                 x -> x <> '') AS s
+              FROM documents d LEFT JOIN txt ON d.doc_id = txt.doc_id
+            )
+            SELECT doc_id,
+                   CAST(len(s) AS BIGINT) AS n_sentences,
+                   CAST(len(array_to_string(s, '')) AS BIGINT)
+                     AS sum_sent_chars,
+                   CASE WHEN len(s) > 0
+                        THEN CAST(len(array_to_string(s, '')) AS DOUBLE)
+                             / CAST(len(s) AS DOUBLE)
+                        ELSE 0.0 END AS mean_sentence_len
+            FROM sents
         """,
         # -- repeated windows: distinct 6-token runs per doc; a run's row
         # set is distinct per doc so count(*) per hash IS the doc count

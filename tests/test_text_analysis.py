@@ -226,3 +226,22 @@ def test_compression_ratio_batch():
     assert cr[2] == 0.0
     # repetitive text compresses far below diverse text
     assert cr[0] < 0.05 < 0.5 < cr[1]
+
+
+def test_sentence_stats_batch():
+    from xhs_ocr_ray.stages.text_analysis import sentence_stats_batch
+
+    b = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": ["One two. Three four! Five?  Six", "", "NoPunct here"],
+    })
+    out = sentence_stats_batch(b)
+    assert out.column("n_sentences").to_pylist() == [4, 0, 1]
+    assert out.column("sum_sent_chars").to_pylist() == [24, 0, 12]
+    assert out.column("mean_sentence_len").to_pylist() == [6.0, 0.0, 12.0]
+    # sliced input (non-zero list offsets) and empty batch keep working
+    sl = sentence_stats_batch(b.slice(1, 2))
+    assert sl.column("n_sentences").to_pylist() == [0, 1]
+    empty = sentence_stats_batch(b.slice(0, 0))
+    assert empty.num_rows == 0
+    assert "mean_sentence_len" in empty.schema.names

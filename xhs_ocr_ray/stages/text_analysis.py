@@ -523,3 +523,31 @@ def compression_ratio_batch(batch: pa.Table, *, col: str = "text",
             len(zlib.compress(raw, level)) / len(raw) if raw else 0.0)
     return (batch.append_column("n_bytes", pa.array(nb, pa.int64()))
             .append_column("comp_ratio", pa.array(ratio, pa.float64())))
+
+
+def sentence_stats_batch(batch: pa.Table, *, col: str = "text") -> pa.Table:
+    """Append sentence-segmentation stats: ``n_sentences`` (non-empty
+    ``[.!?]+ ``-delimited segments), ``sum_sent_chars`` and
+    ``mean_sentence_len``. Fully vectorized: Arrow ``split_pattern_regex``
+    is RE2 — the same engine as DuckDB's ``string_split_regex``, so
+    segment boundaries are oracle-identical; per-row reductions run on the
+    flattened list buffers (cumsum differences), no Python loop."""
+    import numpy as np
+
+    parts = pc.split_pattern_regex(
+        batch.column(col), pattern=r"[.!?]+ +").combine_chunks()
+    offs = parts.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    offs = offs - offs[0]
+    flat_len = pc.utf8_length(parts.flatten()).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    nonempty = (flat_len > 0).astype(np.int64)
+    cs_n = np.concatenate((np.zeros(1, np.int64), np.cumsum(nonempty)))
+    cs_c = np.concatenate((np.zeros(1, np.int64), np.cumsum(flat_len)))
+    n_sent = cs_n[offs[1:]] - cs_n[offs[:-1]]
+    sum_chars = cs_c[offs[1:]] - cs_c[offs[:-1]]
+    mean = np.where(n_sent > 0,
+                    sum_chars / np.maximum(n_sent, 1), 0.0)
+    return (batch.append_column("n_sentences", pa.array(n_sent, pa.int64()))
+            .append_column("sum_sent_chars", pa.array(sum_chars, pa.int64()))
+            .append_column("mean_sentence_len",
+                           pa.array(mean, pa.float64())))

@@ -324,3 +324,26 @@ def test_read_arrow_ipc_tolerant(ray_session, tmp_path):
     assert ok.user_id.tolist() == [10, 20]          # cast int32 -> int64
     assert ok.missing_col.isna().all()              # typed nulls
     assert "extra" not in out.columns
+
+
+def test_read_jsonl_pages(ray_session, tmp_path):
+    p = tmp_path / "pages.jsonl"
+    p.write_text("\n".join([
+        '{"url": "https://a.com/x", "warc_ts": "2024-01-15T10:00:00",'
+        ' "html": "<p>hi</p>", "lang": "en"}',
+        'this is not json',
+        '{"url": "https://a.com/y", "warc_ts": "not a time",'
+        ' "html": "<p>bad ts</p>", "lang": "en"}',
+        '{"url": "https://a.com/z", "warc_ts": "2024-01-15T11:30:00",'
+        ' "html": "<p>ok</p>", "lang": "zh"}',
+    ]))
+    from xhs_ocr_ray.sources.jsonl import read_jsonl_pages
+
+    out = (read_jsonl_pages(str(p)).to_pandas()
+           .sort_values("url").reset_index(drop=True))
+    assert out.url.tolist() == ["https://a.com/x", "https://a.com/z"]
+    assert out.html.tolist() == [b"<p>hi</p>", b"<p>ok</p>"]
+    assert str(out.warc_ts[0]) == "2024-01-15 10:00:00"
+    # audit mode keeps quarantined rows
+    kept = read_jsonl_pages(str(p), drop_invalid=False).to_pandas()
+    assert sorted(kept.status.tolist()) == ["invalid", "invalid", "ok", "ok"]

@@ -24,7 +24,8 @@ import sys
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(description="xhs_ocr_ray extraction pipeline")
     p.add_argument("--input", required=True, help="raw pages input dir/file")
-    p.add_argument("--input-format", choices=("parquet", "warc", "capture"),
+    p.add_argument("--input-format",
+                   choices=("parquet", "warc", "capture", "jsonl"),
                    default="parquet",
                    help="parquet = canonical pages table; warc = "
                         ".warc/.warc.gz files (Common-Crawl wire format); "
@@ -96,6 +97,10 @@ def main(argv: list[str] | None = None) -> int:
                 from xhs_ocr_ray.sources.warc import read_warc_pages
 
                 ds = read_warc_pages(args.input)
+            elif args.input_format == "jsonl":
+                from xhs_ocr_ray.sources.jsonl import read_jsonl_pages
+
+                ds = read_jsonl_pages(files)
             else:
                 from xhs_ocr_ray.sources.capture import ingest_capture_dir
 

@@ -169,3 +169,45 @@ def read_arrow_ipc_tolerant(paths, schema: dict[str, pa.DataType], *,
 
     return ray.data.read_binary_files(paths).map_batches(
         parse, batch_format="pyarrow")
+
+
+def read_jsonl_pages(paths, *, drop_invalid: bool = True):
+    """JSONL → the canonical pages schema
+    ``(url: string, warc_ts: timestamp[us], html: binary, lang: string)``.
+
+    Line contract: ``{"url": ..., "warc_ts": "YYYY-MM-DDTHH:MM:SS",
+    "html": ..., "lang": ...}``; timestamps are naive-UTC (the same
+    explicit-timestamp convention as the capture source). Malformed lines
+    or unparseable timestamps quarantine row-locally; ``drop_invalid``
+    removes them (CLI ingestion), ``False`` keeps them with a ``status``
+    column for auditing."""
+    import pyarrow.compute as pc
+
+    raw = read_jsonl_tolerant(paths, {
+        "url": pa.string(),
+        "warc_ts": pa.string(),
+        "html": pa.string(),
+        "lang": pa.string(),
+    })
+
+    def to_pages(batch: pa.Table) -> pa.Table:
+        ts = pc.strptime(pc.fill_null(batch.column("warc_ts"), ""),
+                         format="%Y-%m-%dT%H:%M:%S", unit="us",
+                         error_is_null=True)
+        status = pc.if_else(
+            pc.and_(pc.equal(batch.column("status"), "ok"),
+                    pc.is_valid(ts)),
+            pa.scalar("ok", pa.string()), pa.scalar("invalid", pa.string()))
+        out = pa.table({
+            "url": pc.fill_null(batch.column("url"), ""),
+            "warc_ts": ts,
+            "html": pc.fill_null(batch.column("html"), "").cast(pa.binary()),
+            "lang": pc.fill_null(batch.column("lang"), ""),
+            "status": status,
+        })
+        if drop_invalid:
+            out = out.filter(pc.equal(out.column("status"), "ok")) \
+                     .drop_columns(["status"])
+        return out
+
+    return raw.map_batches(to_pages, batch_format="pyarrow")

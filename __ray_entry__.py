@@ -1199,6 +1199,19 @@ def _q_sentence_stats(sf_dir: str):
     )
 
 
+def _q_cms_counts(sf_dir: str):
+    """Count-Min sketch frequency estimates for the five event types plus
+    an absent probe — deterministic md5 buckets, one domain-sized exchange;
+    DuckDB recomputes the cells and min bit-exactly
+    (stages/sketches.cms_estimate)."""
+    from xhs_ocr_ray.stages.sketches import cms_estimate
+
+    return cms_estimate(
+        _read(sf_dir, "events", columns=["event_type"]), "event_type",
+        ["click", "error", "purchase", "signup", "view", "nosuch"],
+        depth=4, width=1024)
+
+
 def _q_compression_ratio(sf_dir: str):
     """Gopher/RefinedWeb compression-ratio repetition proxy per doc —
     deterministic (fixed zlib level) but deflate has no SQL analog, so
@@ -1913,6 +1926,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "arrow_ipc_source": _q_arrow_ipc_source,
         "repeated_windows": _q_repeated_windows,
         "sentence_stats": _q_sentence_stats,
+        "cms_counts": _q_cms_counts,
         "gif_features": _q_gif_features,
         "regex_extract": _q_regex_extract,
         "curation_pipeline": _q_curation_pipeline,
@@ -2632,6 +2646,32 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(a.n_contam, 0) > 0 AS contaminated
             FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
             WHERE d.doc_id % 25 <> 0
+        """,
+        # -- count-min sketch: recompute the depth x width cells and the
+        # per-probe min from the same md5 buckets
+        "cms_counts": """
+            WITH cells AS (
+              SELECT i AS row,
+                     ('0x' || substr(md5(CAST(i AS VARCHAR) || ':'
+                                         || event_type), 1, 16))::UBIGINT
+                       % 1024 AS bucket,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM events, UNNEST(range(0, 4)) AS u(i)
+              GROUP BY row, bucket
+            ), probes(ord, probe) AS (
+              VALUES (1, 'click'), (2, 'error'), (3, 'purchase'),
+                     (4, 'signup'), (5, 'view'), (6, 'nosuch')
+            )
+            SELECT p.probe,
+                   CAST(MIN(COALESCE(c.n, 0)) AS BIGINT) AS est
+            FROM probes p
+            CROSS JOIN UNNEST(range(0, 4)) AS u(i)
+            LEFT JOIN cells c
+              ON c.row = u.i
+             AND c.bucket = ('0x' || substr(md5(CAST(u.i AS VARCHAR) || ':'
+                                                || p.probe), 1, 16))::UBIGINT
+                            % 1024
+            GROUP BY p.probe
         """,
         # -- sentence stats: same derived punctuated text, same RE2 split
         # (string_split_regex == Arrow split_pattern_regex)

@@ -380,3 +380,26 @@ def test_unigram_logprob(ray_session):
     # doc 2 has the rarer mix → lower mean log-prob
     assert (out.loc[2, "mean_logprob_micro"]
             < out.loc[1, "mean_logprob_micro"])
+
+
+def test_cms_estimate(ray_session):
+    import ray.data
+
+    from xhs_ocr_ray.stages.sketches import cms_estimate
+
+    rows = ([{"v": "hot"}] * 500 + [{"v": "warm"}] * 40 + [{"v": "cold"}] * 3
+            + [{"v": None}] * 5)
+    ds = ray.data.from_items(rows, override_num_blocks=4)
+    out = cms_estimate(ds, "v", ["hot", "warm", "cold", "absent"],
+                       depth=4, width=1024)
+    got = dict(zip(out.column("probe").to_pylist(),
+                   out.column("est").to_pylist()))
+    # CMS never undercounts; with 3 values in 1024 buckets there are no
+    # collisions, so estimates are exact here
+    assert got == {"hot": 500, "warm": 40, "cold": 3, "absent": 0}
+    # tiny width forces collisions: estimates only ever overcount
+    small = cms_estimate(ds, "v", ["hot", "warm", "cold", "absent"],
+                         depth=2, width=2)
+    s = dict(zip(small.column("probe").to_pylist(),
+                 small.column("est").to_pylist()))
+    assert s["hot"] >= 500 and s["warm"] >= 40 and s["cold"] >= 3

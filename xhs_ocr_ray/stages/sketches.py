@@ -91,3 +91,59 @@ def hll_count_distinct(ds, col: str, *, p: int = 12,
         return hll_estimate(np.array([], dtype=np.int64),
                             np.array([], dtype=np.int64), p)
     return hll_estimate(merged["idx"].to_numpy(), merged["rho"].to_numpy(), p)
+
+
+def _cms_partial(batch: pa.Table, col: str, depth: int,
+                 width: int) -> pa.Table:
+    """Per-block Count-Min cells: ``(row, bucket, n)``, ≤ depth × width
+    rows. md5 cost is depth × DISTINCT values (block-local pre-count)."""
+    from collections import Counter
+
+    vc = Counter(v for v in batch.column(col).to_pylist() if v is not None)
+    cells: Counter = Counter()
+    for v, n in vc.items():
+        for i in range(depth):
+            b = int(md5_hex(f"{i}:{v}")[:16], 16) % width
+            cells[(i, b)] += n
+    keys = list(cells.keys())
+    return arrow_from_pandas(pd.DataFrame({
+        "row": pd.Series([k[0] for k in keys], dtype="int32"),
+        "bucket": pd.Series([k[1] for k in keys], dtype="int64"),
+        "n": pd.Series([cells[k] for k in keys], dtype="int64"),
+    }))
+
+
+def cms_estimate(ds, col: str, probes: list[str], *, depth: int = 4,
+                 width: int = 1024, num_buckets: int | None = None):
+    """Count-Min frequency estimates (Cormode & Muthukrishnan 2005) for
+    ``probes`` over ``ds[col]``: est(v) = min over rows of
+    cell[row, md5(row:v) % width] — an overestimate bounded by
+    ε = e/width with prob 1 - e^-depth.
+
+    Same deterministic-sketch contract as HLL: md5-derived buckets (no
+    seeded RNG), per-block partials, ONE exchange of ≤ depth × width rows
+    (domain-sized — independent of data volume), so the ESTIMATES are a
+    deterministic function of the value multiset and the DuckDB oracle
+    recomputes them bit-exactly. Returns a pyarrow Table
+    ``(probe: string, est: int64)`` ordered as ``probes``.
+    """
+    if depth < 1 or width < 2:
+        raise ValueError(f"cms_estimate: bad depth={depth}/width={width}")
+    nb = num_buckets or default_num_buckets()
+    partial = ds.map_batches(_cms_partial, batch_format="pyarrow",
+                             fn_kwargs={"col": col, "depth": depth,
+                                        "width": width})
+    merged = _merge_level(partial, ["row", "bucket"], {"n": ("n", "sum")},
+                          min(nb, 32)).to_pandas()
+    cells = {(int(r), int(b)): int(n) for r, b, n in
+             zip(merged.get("row", ()), merged.get("bucket", ()),
+                 merged.get("n", ()))}
+    ests = []
+    for v in probes:
+        ests.append(min(
+            cells.get((i, int(md5_hex(f"{i}:{v}")[:16], 16) % width), 0)
+            for i in range(depth)))
+    return pa.table({
+        "probe": pa.array(list(probes), pa.string()),
+        "est": pa.array(ests, pa.int64()),
+    })

@@ -1199,6 +1199,33 @@ def _q_sentence_stats(sf_dir: str):
     )
 
 
+def _q_sampled_quantiles(sf_dir: str):
+    """Hash-sampled quantiles of lineitem extended price (an unbounded
+    float domain the exact histogram quantile refuses): deterministic
+    md5-threshold sample keyed on (orderkey, linenumber), exact
+    quantile_disc ranks over the bounded sample
+    (stages/analytics.sampled_quantiles)."""
+    import pyarrow as pa
+
+    from xhs_ocr_ray.stages.analytics import sampled_quantiles
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        ok = batch.column("l_orderkey").to_pylist()
+        ln = batch.column("l_linenumber").to_pylist()
+        return batch.append_column(
+            "rk", pa.array([f"{a}:{b}" for a, b in zip(ok, ln)],
+                           pa.string()))
+
+    ds = (
+        _read(sf_dir, "lineitem",
+              columns=["l_orderkey", "l_linenumber", "l_extendedprice"])
+        .map_batches(add_key, batch_format="pyarrow")
+    )
+    return sampled_quantiles(ds, value_col="l_extendedprice", key_col="rk",
+                             qs=[0.25, 0.5, 0.75, 0.95],
+                             target_sample=2048)
+
+
 def _q_cms_counts(sf_dir: str):
     """Count-Min sketch frequency estimates for the five event types plus
     an absent probe — deterministic md5 buckets, one domain-sized exchange;
@@ -1927,6 +1954,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repeated_windows": _q_repeated_windows,
         "sentence_stats": _q_sentence_stats,
         "cms_counts": _q_cms_counts,
+        "sampled_quantiles": _q_sampled_quantiles,
         "gif_features": _q_gif_features,
         "regex_extract": _q_regex_extract,
         "curation_pipeline": _q_curation_pipeline,
@@ -2646,6 +2674,35 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(a.n_contam, 0) > 0 AS contaminated
             FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
             WHERE d.doc_id % 25 <> 0
+        """,
+        # -- sampled quantiles: same count → rate → floor(rate*65536)
+        # threshold → md5 acceptance → 1-based quantile_disc ranks
+        "sampled_quantiles": """
+            WITH c AS (
+              SELECT CAST(count(*) AS BIGINT) AS cnt FROM lineitem
+            ), r AS (
+              SELECT CAST(floor(LEAST(CAST(1 AS DOUBLE),
+                                      2048 / CAST(cnt AS DOUBLE)) * 65536)
+                          AS BIGINT) AS thr
+              FROM c
+            ), samp AS (
+              SELECT l_extendedprice AS v
+              FROM lineitem, r
+              WHERE ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || ':'
+                                        || CAST(l_linenumber AS VARCHAR)),
+                                    1, 4))::INT < r.thr
+            )
+            SELECT CAST(0.25 AS DOUBLE) AS q,
+                   CAST(quantile_disc(v, 0.25) AS DOUBLE) AS value FROM samp
+            UNION ALL
+            SELECT CAST(0.5 AS DOUBLE),
+                   CAST(quantile_disc(v, 0.5) AS DOUBLE) FROM samp
+            UNION ALL
+            SELECT CAST(0.75 AS DOUBLE),
+                   CAST(quantile_disc(v, 0.75) AS DOUBLE) FROM samp
+            UNION ALL
+            SELECT CAST(0.95 AS DOUBLE),
+                   CAST(quantile_disc(v, 0.95) AS DOUBLE) FROM samp
         """,
         # -- count-min sketch: recompute the depth x width cells and the
         # per-probe min from the same md5 buckets

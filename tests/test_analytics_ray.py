@@ -403,3 +403,33 @@ def test_cms_estimate(ray_session):
     s = dict(zip(small.column("probe").to_pylist(),
                  small.column("est").to_pylist()))
     assert s["hot"] >= 500 and s["warm"] >= 40 and s["cold"] >= 3
+
+
+def test_sampled_quantiles(ray_session):
+    import ray.data
+
+    from xhs_ocr_ray.stages.analytics import sampled_quantiles
+    import pytest
+
+    rows = [{"k": str(i), "v": float(i)} for i in range(2000)]
+    ds = ray.data.from_items(rows, override_num_blocks=4)
+    # target >= data: rate 1.0 keeps everything -> exact quantile_disc
+    out = sampled_quantiles(ds, value_col="v", key_col="k",
+                            qs=[0.5, 0.95], target_sample=10_000)
+    got = dict(zip(out.column("q").to_pylist(),
+                   out.column("value").to_pylist()))
+    assert got[0.5] == 999.0 and got[0.95] == 1899.0
+    # bounded sample: estimates land near the true ranks, deterministic
+    s1 = sampled_quantiles(ds, value_col="v", key_col="k",
+                           qs=[0.5], target_sample=256)
+    s2 = sampled_quantiles(ds, value_col="v", key_col="k",
+                           qs=[0.5], target_sample=256)
+    v = s1.column("value").to_pylist()[0]
+    assert s1.equals(s2)
+    assert 800 <= v <= 1200
+    # empty input and bad qs
+    empty = sampled_quantiles(ds.filter(lambda r: False),
+                              value_col="v", key_col="k", qs=[0.5])
+    assert empty.num_rows == 0
+    with pytest.raises(ValueError):
+        sampled_quantiles(ds, value_col="v", key_col="k", qs=[0.0])

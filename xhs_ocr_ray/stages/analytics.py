@@ -455,3 +455,51 @@ def quantile_threshold_filter(ds, col: str, q: float, *,
         lambda b: b.filter(op(b.column(col), threshold)),
         batch_format="pyarrow")
     return out, threshold
+
+
+def sampled_quantiles(ds, *, value_col: str, key_col: str,
+                      qs: list[float], target_sample: int = 4096):
+    """Deterministic sampled quantiles for UNBOUNDED value domains — the
+    scale path complementing the exact domain-histogram quantile
+    (``quantile_threshold_filter`` raises on unbounded domains): measure
+    the row count, derive a hash-acceptance rate aiming at
+    ``target_sample`` rows, keep rows with
+    ``int(md5(key)[:4], 16) < floor(rate * 65536)`` (the domain_mix
+    threshold idiom — same row kept on every run/engine/cluster size),
+    collect the bounded sample and take exact 1-based ``quantile_disc``
+    ranks over it. Everything is a deterministic function of the data, so
+    the DuckDB oracle reproduces the estimates bit-exactly.
+
+    Returns a pyarrow Table ``(q: float64, value: float64)``. Accuracy is
+    the usual sampling bound (~1/sqrt(target_sample) rank error); the
+    sample — not the data — crosses to the driver. Callers with expensive
+    upstreams should materialize first (count + filter = two consumers).
+    """
+    import math
+
+    from xhs_ocr_ray.functions.hashing import md5_hex
+
+    if not qs or any(not (0.0 < q <= 1.0) for q in qs):
+        raise ValueError(f"sampled_quantiles: qs must be in (0, 1], got {qs}")
+    narrow = ds.select_columns([key_col, value_col])
+    total = narrow.count()
+    if total == 0:
+        return pa.table({"q": pa.array([], pa.float64()),
+                         "value": pa.array([], pa.float64())})
+    rate = min(1.0, target_sample / total)
+    thr = int(math.floor(rate * 65536))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col).to_pylist()
+        mask = [int(md5_hex(str(k))[:4], 16) < thr for k in keys]
+        return batch.filter(pa.array(mask, pa.bool_()))
+
+    rows = narrow.map_batches(keep, batch_format="pyarrow").take_all()
+    vals = sorted(float(r[value_col]) for r in rows)
+    out_q, out_v = [], []
+    for q in qs:
+        if vals:
+            out_q.append(q)
+            out_v.append(vals[max(0, math.ceil(q * len(vals)) - 1)])
+    return pa.table({"q": pa.array(out_q, pa.float64()),
+                     "value": pa.array(out_v, pa.float64())})

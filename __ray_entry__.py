@@ -1226,6 +1226,27 @@ def _q_sampled_quantiles(sf_dir: str):
                              target_sample=2048)
 
 
+def _q_similarity_join(sf_dir: str):
+    """Cosine nearest-neighbor join: odd vec_ids (queries) against the
+    broadcast even-id reference set; one matmul+argmax per batch, no
+    shuffle (stages/similarity.similarity_join)."""
+    import pyarrow as pa
+
+    from xhs_ocr_ray.stages.similarity import similarity_join
+
+    def part(want_even: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            mask = (ids % 2 == 0) if want_even else (ids % 2 == 1)
+            return batch.filter(pa.array(mask, pa.bool_()))
+        return f
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    left = emb.map_batches(part(False), batch_format="pyarrow")
+    right = emb.map_batches(part(True), batch_format="pyarrow")
+    return similarity_join(left, right).select_columns(["vec_id", "nn_id"])
+
+
 def _q_cms_counts(sf_dir: str):
     """Count-Min sketch frequency estimates for the five event types plus
     an absent probe — deterministic md5 buckets, one domain-sized exchange;
@@ -1955,6 +1976,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sentence_stats": _q_sentence_stats,
         "cms_counts": _q_cms_counts,
         "sampled_quantiles": _q_sampled_quantiles,
+        "similarity_join": _q_similarity_join,
         "gif_features": _q_gif_features,
         "regex_extract": _q_regex_extract,
         "curation_pipeline": _q_curation_pipeline,
@@ -2674,6 +2696,24 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(a.n_contam, 0) > 0 AS contaminated
             FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
             WHERE d.doc_id % 25 <> 0
+        """,
+        # -- similarity join: top-1 by double cosine, ties → smallest
+        # right id (argmax-first over id-sorted reference rows)
+        "similarity_join": """
+            WITH a AS (
+              SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 1
+            ), b AS (
+              SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0
+            ), s AS (
+              SELECT a.vec_id AS vec_id, b.vec_id AS nn_id,
+                     row_number() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY list_cosine_similarity(a.embedding,
+                                                       b.embedding) DESC,
+                                b.vec_id) AS rn
+              FROM a CROSS JOIN b
+            )
+            SELECT vec_id, nn_id FROM s WHERE rn = 1
         """,
         # -- sampled quantiles: same count → rate → floor(rate*65536)
         # threshold → md5 acceptance → 1-based quantile_disc ranks

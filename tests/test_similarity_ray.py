@@ -161,3 +161,31 @@ def test_audio_chunk_windows(ray_session):
 
     with _pytest.raises(NotImplementedError):
         dec(synth_media_table(2))
+
+
+def test_similarity_join(ray_session):
+    import numpy as np
+    import pytest
+    import ray.data
+
+    from xhs_ocr_ray.stages.similarity import similarity_join
+
+    right = ray.data.from_items([
+        {"vec_id": 0, "embedding": [1.0, 0.0]},
+        {"vec_id": 2, "embedding": [0.0, 1.0]},
+        {"vec_id": 4, "embedding": [1.0, 0.0]},   # duplicate direction of 0
+    ], override_num_blocks=1)
+    left = ray.data.from_items([
+        {"vec_id": 1, "embedding": [0.9, 0.1]},   # → 0 (tie 0 vs 4 → min id)
+        {"vec_id": 3, "embedding": [0.1, 0.9]},   # → 2
+        {"vec_id": 5, "embedding": [0.0, 0.0]},   # zero vector: sims all 0,
+                                                   # argmax-first → id 0
+    ], override_num_blocks=2)
+    out = (similarity_join(left, right).to_pandas()
+           .set_index("vec_id").sort_index())
+    assert out.nn_id.tolist() == [0, 2, 0]
+
+    with pytest.raises(ValueError, match="max_right"):
+        similarity_join(left, right, max_right=2)
+    with pytest.raises(ValueError, match="empty"):
+        similarity_join(left, right.filter(lambda r: False))

@@ -401,3 +401,57 @@ class IvfIndexSearch:
         order = np.argsort(-(self.centroids @ q))[: self.nprobe]
         return _probe_topk(self.index_dir, "cid", [int(c) for c in order],
                            self.id_col, q, k)
+
+
+def similarity_join(left_ds, right_ds, *, vec_col: str = "embedding",
+                    id_col: str = "vec_id", out_col: str = "nn_id",
+                    max_right: int = 200_000):
+    """Cosine nearest-neighbor JOIN: for every left row, the right-side id
+    with the highest cosine similarity (ties → smallest right id) — the
+    batch workhorse behind cross-snapshot dedup and retrieval attachment,
+    where :func:`brute_force_topk` answers only one query at a time.
+
+    Broadcast-join shape: the RIGHT side is the small one (a reference
+    set / centroid table / yesterday's snapshot sample); its unit matrix
+    ships once via ``ray.put`` and every left batch does one matmul +
+    argmax — no shuffle at all. An explicit ``max_right`` guard refuses a
+    corpus-sized right side (use the LSH/IVF index path for that).
+
+    Similarities are computed in float64 (float32 inputs upcast exactly),
+    matching DuckDB ``list_cosine_similarity``'s double arithmetic — the
+    same rank-parity contract as ``brute_force_topk``.
+    """
+    import ray
+
+    rows = right_ds.select_columns([id_col, vec_col]).take_all()
+    if len(rows) > max_right:
+        raise ValueError(
+            f"similarity_join: right side has {len(rows)} rows "
+            f"(> max_right={max_right}); this broadcast design assumes a "
+            f"reference-sized right side — use LshIndexSearch/IvfIndex "
+            f"for corpus-scale ANN")
+    if not rows:
+        raise ValueError("similarity_join: right side is empty")
+    rows.sort(key=lambda r: r[id_col])  # argmax tie → smallest right id
+    b_ids = np.array([r[id_col] for r in rows], dtype=np.int64)
+    b = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    b_norm = np.linalg.norm(b, axis=1)
+    b_norm[b_norm == 0] = 1.0
+    b_unit_t = (b / b_norm[:, None]).T
+    ref = ray.put((b_ids, np.ascontiguousarray(b_unit_t)))
+
+    def attach(batch: pa.Table) -> pa.Table:
+        ids, bt = ray.get(ref)
+        mat = list_matrix(batch.column(vec_col), dtype=np.float64)
+        if mat.size == 0:
+            return batch.append_column(
+                out_col, pa.array([], pa.int64())) if batch.num_rows == 0 \
+                else batch.append_column(
+                    out_col, pa.nulls(batch.num_rows, pa.int64()))
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        sims = (mat / norms[:, None]) @ bt
+        nn = ids[np.argmax(sims, axis=1)]
+        return batch.append_column(out_col, pa.array(nn, pa.int64()))
+
+    return left_ds.map_batches(attach, batch_format="pyarrow")

@@ -1247,6 +1247,41 @@ def _q_similarity_join(sf_dir: str):
     return similarity_join(left, right).select_columns(["vec_id", "nn_id"])
 
 
+def _q_ann_join_lsh(sf_dir: str):
+    """Index-routed cosine NN join (the corpus-scale path: no broadcast —
+    probe rows co-locate with hive posting lists by code). Run at the
+    exhaustive probe point (hamming = num_planes), where the result is
+    provably identical to brute force, so the brute-force SQL is an exact
+    oracle; the recall/IO trade at lower probe counts is covered by
+    tests/test_similarity_ray.py."""
+    import os as _os
+
+    import pyarrow as pa
+
+    from xhs_ocr_ray.stages.similarity import (
+        LshIndexSearch,
+        lsh_similarity_join,
+    )
+
+    def part(want_even: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            mask = (ids % 2 == 0) if want_even else (ids % 2 == 1)
+            return batch.filter(pa.array(mask, pa.bool_()))
+        return f
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    idx_dir = _os.path.join(
+        "/tmp/xhs_lsh_join_index", f"{_source_tag(sf_dir, 'embeddings')}_v1")
+    idx = LshIndexSearch(emb.map_batches(part(True), batch_format="pyarrow"),
+                         num_planes=6, index_dir=idx_dir,
+                         reuse_existing=True)
+    out = lsh_similarity_join(
+        emb.map_batches(part(False), batch_format="pyarrow"), idx,
+        probe_hamming=6)
+    return out.select_columns(["qid", "nn_id"])
+
+
 def _q_cms_counts(sf_dir: str):
     """Count-Min sketch frequency estimates for the five event types plus
     an absent probe — deterministic md5 buckets, one domain-sized exchange;
@@ -1977,6 +2012,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_counts": _q_cms_counts,
         "sampled_quantiles": _q_sampled_quantiles,
         "similarity_join": _q_similarity_join,
+        "ann_join_lsh": _q_ann_join_lsh,
         "gif_features": _q_gif_features,
         "regex_extract": _q_regex_extract,
         "curation_pipeline": _q_curation_pipeline,
@@ -2696,6 +2732,24 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(a.n_contam, 0) > 0 AS contaminated
             FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
             WHERE d.doc_id % 25 <> 0
+        """,
+        # -- index-routed NN join at the exhaustive probe point == brute
+        # force (column named qid on the Ray side)
+        "ann_join_lsh": """
+            WITH a AS (
+              SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 1
+            ), b AS (
+              SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0
+            ), s AS (
+              SELECT a.vec_id AS qid, b.vec_id AS nn_id,
+                     row_number() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY list_cosine_similarity(a.embedding,
+                                                       b.embedding) DESC,
+                                b.vec_id) AS rn
+              FROM a CROSS JOIN b
+            )
+            SELECT qid, nn_id FROM s WHERE rn = 1
         """,
         # -- similarity join: top-1 by double cosine, ties → smallest
         # right id (argmax-first over id-sorted reference rows)

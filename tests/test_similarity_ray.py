@@ -189,3 +189,37 @@ def test_similarity_join(ray_session):
         similarity_join(left, right, max_right=2)
     with pytest.raises(ValueError, match="empty"):
         similarity_join(left, right.filter(lambda r: False))
+
+
+def test_lsh_similarity_join_exhaustive_equals_brute(ray_session, tmp_path):
+    import numpy as np
+    import ray.data
+
+    from xhs_ocr_ray.stages.similarity import (
+        LshIndexSearch,
+        lsh_similarity_join,
+        similarity_join,
+    )
+
+    rng = np.random.default_rng(7)
+    corpus = [{"vec_id": i, "embedding": rng.standard_normal(8).tolist()}
+              for i in range(0, 60, 2)]
+    queries = [{"vec_id": i, "embedding": rng.standard_normal(8).tolist()}
+               for i in range(1, 41, 2)]
+    right = ray.data.from_items(corpus, override_num_blocks=2)
+    left = ray.data.from_items(queries, override_num_blocks=3)
+
+    idx = LshIndexSearch(right, num_planes=4,
+                         index_dir=str(tmp_path / "lsh"))
+    # exhaustive probes == brute force
+    got = (lsh_similarity_join(left, idx, probe_hamming=4)
+           .to_pandas().set_index("qid").sort_index())
+    want = (similarity_join(left, right).to_pandas()
+            .set_index("vec_id").sort_index())
+    assert got.nn_id.tolist() == want.nn_id.tolist()
+    # limited probes: a subset of queries may miss, but every answer
+    # returned must be a real corpus id
+    part = lsh_similarity_join(left, idx, probe_hamming=0).to_pandas()
+    corpus_ids = {c["vec_id"] for c in corpus}
+    assert set(part.nn_id).issubset(corpus_ids)
+    assert len(part) <= len(queries)

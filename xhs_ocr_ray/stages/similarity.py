@@ -455,3 +455,138 @@ def similarity_join(left_ds, right_ds, *, vec_col: str = "embedding",
         return batch.append_column(out_col, pa.array(nn, pa.int64()))
 
     return left_ds.map_batches(attach, batch_format="pyarrow")
+
+
+def lsh_similarity_join(left_ds, index: "LshIndexSearch", *,
+                        vec_col: str = "embedding", id_col: str = "vec_id",
+                        out_col: str = "nn_id",
+                        probe_hamming: int | None = None):
+    """Corpus-scale cosine nearest-neighbor JOIN over a built
+    :class:`LshIndexSearch` — the scale path :func:`similarity_join`'s
+    ``max_right`` guard points at. No broadcast of the corpus, ever:
+
+    1. each left batch hashes its queries with the index's hyperplanes and
+       EXPLODES to narrow ``(code, qid, unit-vector bytes)`` probe rows
+       (one per probed bucket — ``probe_hamming`` flips, same recall knob
+       as single-query ``search``);
+    2. one bucketed exchange co-locates probe rows by ``code``; each code
+       group reads ONLY its own ``code=<c>/`` partition (path pruning)
+       and emits a local top-1 per query via one matmul;
+    3. a second narrow exchange keyed on the query id keeps the global
+       best candidate (max sim, ties → smallest candidate id).
+
+    ``probe_hamming >= num_planes`` probes every bucket and is EXACTLY
+    brute force (the equivalence test); small values trade recall for
+    reading fewer posting lists. Returns ``(qid, nn_id, sim)`` — queries
+    whose probed buckets are all empty are absent (no match found).
+    """
+    import os
+
+    import pandas as pd
+
+    from xhs_ocr_ray.functions.arrow import arrow_from_pandas, bytes_rows
+    from xhs_ocr_ray.stages.bucketing import (
+        _add_key_bucket,
+        default_num_buckets,
+    )
+    from xhs_ocr_ray.stages.dedup import _binary_matrix
+
+    if index.planes is None:
+        raise ValueError("lsh_similarity_join: index is empty (no planes)")
+    planes = index.planes
+    num_planes = index.num_planes
+    hamming = index.probe_hamming if probe_hamming is None else probe_hamming
+    index_dir = index.index_dir
+
+    # precompute the flip masks once (shared by every batch)
+    from itertools import combinations
+
+    flips = [0]
+    for h in range(1, min(hamming, num_planes) + 1):
+        for bits in combinations(range(num_planes), h):
+            m = 0
+            for b in bits:
+                m |= 1 << b
+            flips.append(m)
+    flips_arr = np.array(flips, dtype=np.int64)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        mat = list_matrix(batch.column(vec_col), dtype=np.float64)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        if mat.size == 0:
+            return pa.table({"code": pa.array([], pa.int64()),
+                             "qid": pa.array([], pa.int64()),
+                             "q": pa.array([], pa.binary())})
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        unit = mat / norms
+        signs = (unit.astype(np.float32) @ planes) > 0
+        codes = (signs.astype(np.int64)
+                 * (1 << np.arange(num_planes))).sum(axis=1)
+        n, f = len(ids), len(flips_arr)
+        return pa.table({
+            "code": pa.array((codes[:, None] ^ flips_arr[None, :]).ravel(),
+                             pa.int64()),
+            "qid": pa.array(np.repeat(ids, f).astype(np.int64)),
+            "q": bytes_rows(np.repeat(unit, f, axis=0)),
+        })
+
+    def probe_group(group: pd.DataFrame) -> pd.DataFrame:
+        out_empty = pd.DataFrame({
+            "qid": pd.Series([], dtype="int64"),
+            "cand": pd.Series([], dtype="int64"),
+            "sim": pd.Series([], dtype="float64"),
+        })
+        frames = []
+        for code, g in group.groupby("code", sort=False):
+            part = os.path.join(index_dir, f"code={int(code)}")
+            if not os.path.isdir(part):
+                continue
+            files = [os.path.join(part, f) for f in sorted(os.listdir(part))
+                     if f.endswith(".parquet")]
+            if not files:
+                continue
+            import pyarrow.parquet as pq
+
+            tbl = pa.concat_tables([pq.read_table(f) for f in files])
+            unit_col = tbl.column("unit").combine_chunks()
+            cmat = _binary_matrix(
+                unit_col, len(unit_col[0].as_py())).view(np.float64)
+            cids = tbl.column(index.id_col).to_numpy(zero_copy_only=False)
+            order = np.argsort(cids, kind="stable")  # argmax tie → min id
+            cids, cmat = cids[order], cmat[order]
+            qmat = np.frombuffer(
+                b"".join(g["q"].tolist()), dtype=np.float64
+            ).reshape(len(g), -1)
+            sims = qmat @ cmat.T
+            best = np.argmax(sims, axis=1)
+            frames.append(pd.DataFrame({
+                "qid": g["qid"].to_numpy(),
+                "cand": cids[best].astype(np.int64),
+                "sim": sims[np.arange(len(g)), best],
+            }))
+        return pd.concat(frames, ignore_index=True) if frames else out_empty
+
+    probes = (left_ds.select_columns([id_col, vec_col])
+              .map_batches(explode, batch_format="pyarrow")
+              .map_batches(_add_key_bucket, batch_format="pyarrow",
+                           fn_kwargs={"key_cols": ["code"],
+                                      "num_buckets": default_num_buckets()})
+              .groupby("__kb")
+              .map_groups(lambda g: probe_group(g.drop(columns="__kb")),
+                          batch_format="pandas"))
+
+    def best_per_qid(group: pd.DataFrame) -> pd.DataFrame:
+        ordered = group.sort_values(["sim", "cand"],
+                                    ascending=[False, True],
+                                    kind="mergesort")
+        out = ordered.drop_duplicates(subset=["qid"], keep="first")
+        return out.rename(columns={"cand": out_col})[["qid", out_col, "sim"]]
+
+    return (probes.map_batches(_add_key_bucket, batch_format="pyarrow",
+                               fn_kwargs={"key_cols": ["qid"],
+                                          "num_buckets":
+                                          default_num_buckets()})
+            .groupby("__kb")
+            .map_groups(lambda g: best_per_qid(g.drop(columns="__kb")),
+                        batch_format="pandas"))

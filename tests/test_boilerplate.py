@@ -51,3 +51,37 @@ def test_boilerplate_min_docs_one_bans_everything(ray_session):
     ).to_pandas()
     assert (out["clean_text"] == "").all()
     assert out["n_kept"].sum() == 0 and out["n_removed"].sum() == 3
+
+
+def test_boilerplate_hot_line_spreads_across_buckets(ray_session):
+    """VERDICT r05: banned-line detection salts by doc id — the occurrence
+    rows of one hot (group, line) must spread over many buckets, never
+    concentrate in one bucket task."""
+    import collections
+
+    import pyarrow as pa
+
+    from xhs_ocr_ray.stages.bucketing import _add_key_bucket
+
+    n_docs = 2000
+    tbl = pa.table({
+        "host": pa.array(["a.com"] * n_docs),
+        "__line": pa.array(["COOKIE BANNER"] * n_docs),
+        "doc_id": pa.array(list(range(n_docs)), pa.int64()),
+    })
+    bucketed = _add_key_bucket(tbl, key_cols=["host", "__line", "doc_id"],
+                               num_buckets=64)
+    counts = collections.Counter(bucketed.column("__kb").to_pylist())
+    assert len(counts) > 16               # spread over many buckets
+    assert max(counts.values()) < n_docs / 4   # no bucket holds them all
+
+
+def test_boilerplate_banned_guard(ray_session):
+    import pytest
+
+    rows = [(i, "h", f"line{i}\ncommon") for i in range(5)]
+    with pytest.raises(ValueError, match="banned lines"):
+        boilerplate_line_filter(
+            _corpus_ds(rows), text_col="text", id_col="doc_id",
+            group_col="host", min_docs=1, max_banned_lines=2,
+        ).to_pandas()

@@ -357,3 +357,30 @@ def test_repeated_window_signals(ray_session):
     assert out.n_windows.tolist() == [3, 3, 2]
     assert out.n_dup_windows.tolist() == [1, 1, 0]
     assert out.dup_frac.tolist() == [1 / 3, 1 / 3, 0.0]
+
+
+def test_exact_dedup_combiner_bounds_exchange(ray_session):
+    """VERDICT r05: the per-block first-wins combiner must bound rows
+    crossing the exchange to <= 1 per key per block — a key duplicated
+    across many blocks ships per-block winners, never every copy."""
+    import ray.data
+
+    from xhs_ocr_ray.stages.dedup import combine_first_wins, exact_dedup
+
+    n_blocks, copies_per_block = 8, 500
+    rows = []
+    for b in range(n_blocks):
+        for i in range(copies_per_block):
+            rows.append({"k": "hot", "ord": b * copies_per_block + i,
+                         "payload": f"p{b}-{i}"})
+        rows.append({"k": f"cold{b}", "ord": b, "payload": "x"})
+    ds = ray.data.from_items(rows, override_num_blocks=n_blocks)
+
+    combined = combine_first_wins(ds, ["k"], "ord").materialize()
+    # <= (1 hot + n_blocks cold-capacity) per block, NOT 4000 hot copies
+    assert combined.count() <= n_blocks * (1 + n_blocks)
+
+    out = exact_dedup(ds, ["k"], "ord").to_pandas()
+    assert len(out) == 1 + n_blocks
+    hot = out[out.k == "hot"].iloc[0]
+    assert hot["ord"] == 0 and hot["payload"] == "p0-0"  # global first wins

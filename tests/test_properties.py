@@ -53,10 +53,12 @@ def test_simhash_self_distance_zero(tokens):
 
 # url-ish strings: realistic corpus shapes, plus adversarial characters that
 # urlsplit normalizes (tabs/newlines stripped mid-url, C0+space trimmed at
-# the ends) — the vectorized fast path must either agree or fall back.
+# the ends) or REJECTS (unbalanced '['/']' in the authority raises
+# ValueError → doc_class "default"; ADVICE r04) — the vectorized fast path
+# must either agree or fall back.
 _seg_chars = st.text(
     alphabet=st.sampled_from(
-        list("abcdefghij0123456789-_.%~:@ \t\n\r/?#\x00\x7f中文")
+        list("abcdefghij0123456789-_.%~:@ \t\n\r/?#\x00\x7f[]中文")
     ),
     max_size=12,
 )

@@ -80,7 +80,11 @@ def doc_class_of(url: str) -> str:
 # anywhere after it): anything urlsplit would normalize away (\t\n\r are
 # stripped mid-url, C0+space trimmed at the ends) fails the match and takes
 # the exact per-row fallback instead — equivalence is property-tested.
-_SEG_PATTERN = (r"(?i)^https?://[^\x00-\x20/?#]*/+"
+# '[' and ']' are excluded from the HOST charset: urlsplit raises on
+# unbalanced brackets in the authority (and doc_class_of then returns
+# "default"), so any bracketed host — valid IPv6 or malformed — must take
+# the exact per-row fallback rather than the fast path.
+_SEG_PATTERN = (r"(?i)^https?://[^\x00-\x20/?#\[\]]*/+"
                 r"(?P<seg>[^\x00-\x20/?#]+)(?:[/?#][^\x00-\x1f]*)?$")
 
 

@@ -64,6 +64,12 @@ def bytes_rows(mat: np.ndarray) -> pa.Array:
     tensor-extension types that break shuffle block normalization."""
     n = mat.shape[0]
     row_nbytes = int(mat.dtype.itemsize * int(np.prod(mat.shape[1:], dtype=np.int64)))
+    if n * row_nbytes >= 2**31:
+        # int32 offsets would silently wrap and corrupt the column; callers
+        # must batch smaller (every stage here batches well below 2 GiB).
+        raise ValueError(
+            f"bytes_rows: batch matrix is {n * row_nbytes} bytes, "
+            "exceeding binary-column int32 offsets; reduce batch_size")
     values = pa.py_buffer(np.ascontiguousarray(mat).tobytes())
     offsets = pa.py_buffer(
         (np.arange(n + 1, dtype=np.int32) * row_nbytes).tobytes())

@@ -8,17 +8,25 @@ form of that pass over a ``(id, group, text)`` table:
 1. **Explode** each document into ``(group, line, id, line_idx)`` rows —
    fully vectorized (``pc.split_pattern`` + ``list_parent_indices``; no
    per-row Python splitting).
-2. **Exchange 1** — bucket by ``(group, line)`` (the repo's
-   ``_add_key_bucket`` idiom): each bucket holds every occurrence of its
-   lines, so the distinct-doc count per line is local; rows come back
-   flagged ``keep = n_distinct_docs < min_docs``.
-3. **Exchange 2** — bucket by ``id``: reassemble each document from its
-   kept lines in ``line_idx`` order, emit per-doc stats.
+2. **Banned-line detection, skew-proof** (VERDICT r04 #2): a per-block
+   partial distinct over ``(group, line, id)`` occurrence triples, then an
+   exchange SALTED BY DOC ID — bucketing on the full triple, so a
+   cookie-banner line present on 10M pages of one host spreads over all
+   buckets instead of landing in one task — producing per-bucket partial
+   distinct-doc counts, then a second narrow exchange on ``(group, line)``
+   (≤ num_buckets rows per line) that sums the partials and keeps lines
+   with ``n_distinct_docs >= min_docs``. The banned table is bounded by the
+   threshold (only lines repeated across many docs survive) and is
+   broadcast ONCE with ``ray.put`` behind an explicit size guard — the
+   decontam idiom, not a per-task reshipment.
+3. **Exchange on ``id``** — reassemble each document from its kept lines in
+   ``line_idx`` order (keep = line not in the broadcast banned set), emit
+   per-doc stats.
 
-Both exchanges move narrow line rows, never whole documents next to their
-duplicates; the per-bucket work is vectorized pandas. At 100 TB the line
-table is the corpus itself once — the same cost shape as a tokenization
-pass — and banned-line detection needs no driver state at all.
+No stage ever co-locates all occurrences of a hot line: detection ships ≤ 1
+row per (group, line, id) per block salted by id, and the rebuild exchange
+is keyed by doc id. At 100 TB the line table is the corpus itself once —
+the same cost shape as a tokenization pass.
 """
 
 from __future__ import annotations
@@ -53,27 +61,116 @@ def _explode_lines(batch: pa.Table, *, text_col: str, id_col: str,
     )
 
 
+def banned_boilerplate_lines(lines, *, id_col: str, group_col: str,
+                             min_docs: int, num_buckets: int | None = None):
+    """``(id, group, __line, ...)`` line rows → materialized Dataset of
+    ``(group_col, __line)`` pairs occurring in ≥ ``min_docs`` distinct docs.
+
+    Salted two-stage distinct count: the first exchange keys on
+    ``(group, line, id)`` so hot lines spread across every bucket; each
+    bucket emits one partial count per (group, line); the second exchange
+    (≤ num_buckets rows per line) sums partials and applies the threshold.
+    """
+    from xhs_ocr_ray.stages.components import _compact
+
+    nb = num_buckets or default_num_buckets()
+
+    def block_distinct(batch: pa.Table) -> pa.Table:
+        # ≤ 1 occurrence row per (group, line, id) leaves each block
+        df = pa.table({
+            group_col: batch.column(group_col),
+            "__line": batch.column("__line"),
+            id_col: batch.column(id_col),
+        }).to_pandas()
+        return arrow_from_pandas(
+            df.drop_duplicates([group_col, "__line", id_col]))
+
+    def partial_count(chunk: pd.DataFrame) -> pd.DataFrame:
+        chunk = chunk.drop(columns=["__kb"])
+        if not len(chunk):
+            return pd.DataFrame({
+                group_col: chunk[group_col].iloc[:0],
+                "__line": chunk["__line"].iloc[:0],
+                "__n": pd.Series((), dtype="int64"),
+            })
+        d = chunk.drop_duplicates([group_col, "__line", id_col])
+        out = (d.groupby([group_col, "__line"], sort=False)
+               .size().rename("__n").reset_index())
+        out["__n"] = out["__n"].astype("int64")
+        return out
+
+    def total_count(chunk: pd.DataFrame) -> pd.DataFrame:
+        chunk = chunk.drop(columns=["__kb"])
+        if not len(chunk):
+            return pd.DataFrame({
+                group_col: chunk[group_col].iloc[:0],
+                "__line": chunk["__line"].iloc[:0],
+            })
+        tot = (chunk.groupby([group_col, "__line"], sort=False)["__n"]
+               .sum().reset_index())
+        return tot.loc[tot["__n"] >= min_docs, [group_col, "__line"]]
+
+    partials = _compact(
+        lines.map_batches(block_distinct, batch_format="pyarrow")
+        .map_batches(_add_key_bucket, batch_format="pyarrow",
+                     fn_kwargs={"key_cols": [group_col, "__line", id_col],
+                                "num_buckets": nb})
+        .groupby("__kb")
+        .map_groups(partial_count, batch_format="pandas")
+        .materialize()
+    )
+    return (
+        partials.map_batches(_add_key_bucket, batch_format="pyarrow",
+                             fn_kwargs={"key_cols": [group_col, "__line"],
+                                        "num_buckets": nb})
+        .groupby("__kb")
+        .map_groups(total_count, batch_format="pandas")
+    ).materialize()
+
+
 def boilerplate_line_filter(ds, *, text_col: str, id_col: str,
                             group_col: str, min_docs: int,
-                            num_buckets: int | None = None):
+                            num_buckets: int | None = None,
+                            max_banned_lines: int = 5_000_000):
     """Drop every line occurring in ≥ ``min_docs`` distinct documents of
     the same ``group_col``; returns ``(id_col, clean_text, n_kept,
     n_removed)`` — ``clean_text`` is the surviving lines joined by ``\\n``
-    in original order (may be ``""`` when everything was boilerplate)."""
+    in original order (may be ``""`` when everything was boilerplate).
+
+    The banned-line table (bounded by the min_docs threshold, guarded by
+    ``max_banned_lines``) is broadcast once via ``ray.put``; raw occurrence
+    rows are never co-located per line (see module docstring).
+    """
+    import ray
+
     if min_docs < 1:
         raise ValueError("min_docs must be >= 1")
     nb = num_buckets or default_num_buckets()
 
-    def flag(chunk: pd.DataFrame) -> pd.DataFrame:
-        out = chunk.drop(columns=["__kb", group_col])
-        if not len(chunk):
-            out["__keep"] = pd.Series((), dtype=bool)
-            return out
-        nd = chunk.groupby([group_col, "__line"])[id_col].transform("nunique")
-        out["__keep"] = (nd < min_docs).to_numpy()
-        return out
+    lines = ds.map_batches(
+        _explode_lines, batch_format="pyarrow",
+        fn_kwargs={"text_col": text_col, "id_col": id_col,
+                   "group_col": group_col},
+    ).materialize()  # consumed twice: banned-line detection + rebuild
+
+    banned = banned_boilerplate_lines(
+        lines, id_col=id_col, group_col=group_col,
+        min_docs=min_docs, num_buckets=nb)
+    n_banned = banned.count()
+    if n_banned > max_banned_lines:
+        raise ValueError(
+            f"boilerplate_line_filter: {n_banned} banned lines "
+            f"(> max_banned_lines={max_banned_lines}); the broadcast "
+            f"design assumes a boilerplate-vocabulary-sized banned set — "
+            f"raise min_docs or the guard explicitly")
+    banned_df = (banned.to_pandas() if n_banned else
+                 pd.DataFrame({group_col: pd.Series((), dtype="object"),
+                               "__line": pd.Series((), dtype="object")}))
+    banned_idx = pd.MultiIndex.from_frame(banned_df[[group_col, "__line"]])
+    banned_ref = ray.put(banned_idx)
 
     def rebuild(chunk: pd.DataFrame) -> pa.Table:
+        chunk = chunk.drop(columns=["__kb"])
         if not len(chunk):
             empty = pd.DataFrame({
                 id_col: chunk[id_col].iloc[:0],
@@ -82,6 +179,10 @@ def boilerplate_line_filter(ds, *, text_col: str, id_col: str,
                 "n_removed": pd.Series((), dtype="int64"),
             })
             return arrow_from_pandas(empty)
+        bi = ray.get(banned_ref)
+        keep = ~pd.MultiIndex.from_frame(
+            chunk[[group_col, "__line"]]).isin(bi)
+        chunk = chunk.assign(__keep=keep)
         chunk = chunk.sort_values([id_col, "__line_idx"], kind="mergesort")
         grp = chunk.groupby(id_col, sort=True)
         kept = chunk[chunk["__keep"]]
@@ -97,23 +198,10 @@ def boilerplate_line_filter(ds, *, text_col: str, id_col: str,
         })
         return arrow_from_pandas(out)
 
-    lines = ds.map_batches(
-        _explode_lines, batch_format="pyarrow",
-        fn_kwargs={"text_col": text_col, "id_col": id_col,
-                   "group_col": group_col},
-    )
-    flagged = (
+    return (
         lines.map_batches(_add_key_bucket, batch_format="pyarrow",
-                          fn_kwargs={"key_cols": [group_col, "__line"],
+                          fn_kwargs={"key_cols": [id_col],
                                      "num_buckets": nb})
         .groupby("__kb")
-        .map_groups(flag, batch_format="pandas")
-    )
-    return (
-        flagged.map_batches(_add_key_bucket, batch_format="pyarrow",
-                            fn_kwargs={"key_cols": [id_col],
-                                       "num_buckets": nb})
-        .groupby("__kb")
-        .map_groups(lambda c: rebuild(c.drop(columns=["__kb"])),
-                    batch_format="pandas")
+        .map_groups(rebuild, batch_format="pandas")
     )

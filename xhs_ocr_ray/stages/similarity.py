@@ -520,7 +520,16 @@ def lsh_similarity_join(left_ds, index: "LshIndexSearch", *,
         norms = np.linalg.norm(mat, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         unit = mat / norms
-        signs = (unit.astype(np.float32) @ planes) > 0
+        # bucket codes must mirror LshIndexSearch._build BIT-exactly:
+        # cast to float32 FIRST, normalize in float32, matmul in float32 —
+        # normalizing in float64 then casting can flip the sign of a
+        # near-zero hyperplane dot product and probe the wrong bucket
+        # (ADVICE r04).  The float64 ``unit`` above is only the ranking
+        # payload (double-precision parity with the brute-force oracle).
+        mat32 = mat.astype(np.float32)
+        norms32 = np.linalg.norm(mat32, axis=1, keepdims=True)
+        norms32[norms32 == 0] = 1.0
+        signs = ((mat32 / norms32).astype(np.float32) @ planes) > 0
         codes = (signs.astype(np.int64)
                  * (1 << np.arange(num_planes))).sum(axis=1)
         n, f = len(ids), len(flips_arr)

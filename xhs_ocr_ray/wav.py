@@ -60,7 +60,11 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         raise ValueError(f"unsupported WAV sample width {width}")
     if nch > 1:
         usable = (len(flat) // nch) * nch
-        flat = flat[:usable].reshape(-1, nch).sum(axis=1) // nch
+        # numpy upcasts the channel sum to int64; the mean of int32 samples
+        # fits int32 by construction — cast back to honor the documented
+        # "samples are int32" contract (ADVICE r04).
+        flat = (flat[:usable].reshape(-1, nch).sum(axis=1) // nch).astype(
+            np.int32)
     return flat, rate
 
 

@@ -384,3 +384,98 @@ def test_exact_dedup_combiner_bounds_exchange(ray_session):
     assert len(out) == 1 + n_blocks
     hot = out[out.k == "hot"].iloc[0]
     assert hot["ord"] == 0 and hot["payload"] == "p0-0"  # global first wins
+
+
+def test_repeated_window_removal(ray_session):
+    import ray.data
+
+    from xhs_ocr_ray.stages.dedup import repeated_window_removal
+
+    ds = ray.data.from_items([
+        {"doc_id": 1, "text": "a b c d e f g h"},   # shares a..f with doc 2
+        {"doc_id": 2, "text": "x a b c d e f y"},
+        {"doc_id": 3, "text": "unique tokens only here now ok"},
+        {"doc_id": 4, "text": "tiny"},              # < window: intact
+        {"doc_id": 5, "text": "   "},               # token-less: dropped
+    ], override_num_blocks=2)
+    out = (repeated_window_removal(ds, window=6, min_docs=2)
+           .to_pandas().set_index("doc_id").sort_index())
+    assert out.index.tolist() == [1, 2, 3, 4]
+    assert out.loc[1, "clean_text"] == "g h"
+    assert out.loc[1, "n_tokens"] == 8 and out.loc[1, "n_removed"] == 6
+    assert out.loc[2, "clean_text"] == "x y"
+    assert out.loc[3, "clean_text"] == "unique tokens only here now ok"
+    assert out.loc[3, "n_removed"] == 0
+    assert out.loc[4, "clean_text"] == "tiny"
+
+
+def test_repeated_window_removal_overlapping_windows(ray_session):
+    """Overlapping banned windows must union their coverage, and a window
+    repeated only WITHIN one doc is not banned (distinct-doc count)."""
+    import ray.data
+
+    from xhs_ocr_ray.stages.dedup import repeated_window_removal
+
+    ds = ray.data.from_items([
+        # doc 1+2 share the run "p q r s" AND "q r s t" (overlapping)
+        {"doc_id": 1, "text": "h1 p q r s t tail1"},
+        {"doc_id": 2, "text": "h2 p q r s t tail2"},
+        # doc 3 repeats "w w w w" twice internally — same doc, not banned
+        {"doc_id": 3, "text": "w w w w m w w w w"},
+    ], override_num_blocks=2)
+    out = (repeated_window_removal(ds, window=4, min_docs=2)
+           .to_pandas().set_index("doc_id").sort_index())
+    assert out.loc[1, "clean_text"] == "h1 tail1"
+    assert out.loc[1, "n_removed"] == 5
+    assert out.loc[2, "clean_text"] == "h2 tail2"
+    # "w w w w" occurs in one distinct doc only -> kept whole... except the
+    # window also appears at multiple offsets of doc 3 only: count(distinct
+    # doc) == 1 < 2, so nothing is banned
+    assert out.loc[3, "clean_text"] == "w w w w m w w w w"
+    assert out.loc[3, "n_removed"] == 0
+
+
+def test_incremental_minhash_dedup(ray_session):
+    """Cross-run near-dup: run-2 docs equal (or near-equal) to run-1
+    survivors are dropped; within-batch near-dups keep the smallest id;
+    the band index accumulates hive-partitioned run dirs."""
+    import os
+    import shutil
+
+    import ray.data
+
+    from xhs_ocr_ray.stages.dedup import incremental_minhash_dedup
+
+    idx = "/tmp/xhs_test_incr_minhash"
+    shutil.rmtree(idx, ignore_errors=True)
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    other = "one two three four five six seven eight nine ten"
+    run1 = ray.data.from_items([
+        {"doc_id": 1, "text": base},
+        {"doc_id": 2, "text": other},
+    ], override_num_blocks=2)
+    run2 = ray.data.from_items([
+        {"doc_id": 10, "text": base},          # dup of indexed doc 1
+        {"doc_id": 11, "text": "fresh unseen words entirely different "
+                               "content here truly novel"},
+        {"doc_id": 12, "text": "fresh unseen words entirely different "
+                               "content here truly novel"},  # in-batch dup
+    ], override_num_blocks=2)
+
+    s1 = incremental_minhash_dedup(run1, idx, text_col="text",
+                                   id_col="doc_id", threshold=0.9)
+    assert sorted(s1.to_pandas()["doc_id"]) == [1, 2]
+    s2 = incremental_minhash_dedup(run2, idx, text_col="text",
+                                   id_col="doc_id", threshold=0.9)
+    assert sorted(s2.to_pandas()["doc_id"]) == [11]
+    runs = sorted(d for d in os.listdir(idx) if d.startswith("run_"))
+    assert runs == ["run_0", "run_1"]
+    assert os.path.exists(os.path.join(idx, "_meta.json"))
+
+    # geometry is pinned at bootstrap
+    import pytest
+
+    with pytest.raises(ValueError, match="geometry"):
+        incremental_minhash_dedup(run2, idx, text_col="text",
+                                  id_col="doc_id", bands=8)

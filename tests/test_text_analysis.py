@@ -245,3 +245,32 @@ def test_sentence_stats_batch():
     empty = sentence_stats_batch(b.slice(0, 0))
     assert empty.num_rows == 0
     assert "mean_sentence_len" in empty.schema.names
+
+
+def test_linear_quality_classifier(ray_session):
+    import ray.data
+
+    from xhs_ocr_ray.stages.text_analysis import LinearQualityClassifier
+
+    docs = [
+        {"doc_id": 1, "text": "the cat sat on the mat. it is a good day, "
+                              "and the sun is out to shine for all of us."},
+        {"doc_id": 2, "text": "00 11 22 33 44 55 66 77 88 99 00 11 22 33"},
+        {"doc_id": 3, "text": "BUY NOW CLICK HERE AMAZING DEAL WOWW"},
+        {"doc_id": 4, "text": None},
+    ]
+    out = (ray.data.from_items(docs, override_num_blocks=2)
+           .map_batches(LinearQualityClassifier, batch_format="pyarrow",
+                        concurrency=(1, 2))
+           .to_pandas().set_index("doc_id").sort_index())
+    # integer arithmetic, reproducible exactly:
+    # doc 1: 22 toks, 12 stopword hits, 3 punct, 0 digits, 0 shouting
+    assert out.loc[1, "q_score"] == 3 * 22 + 40 * 12 + 10 * 3 - 250
+    assert bool(out.loc[1, "q_keep"])
+    # doc 2: digit soup — 14 toks, 28 digits
+    assert out.loc[2, "q_score"] == 3 * 14 - 5 * 28 - 250
+    assert not bool(out.loc[2, "q_keep"])
+    # doc 3: shouting — weights make it negative
+    assert not bool(out.loc[3, "q_keep"])
+    # null text scores as empty
+    assert out.loc[4, "q_score"] == -250

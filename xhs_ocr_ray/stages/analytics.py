@@ -48,7 +48,11 @@ import pandas as pd
 import pyarrow as pa
 
 from xhs_ocr_ray.functions.arrow import arrow_from_pandas
-from xhs_ocr_ray.stages.bucketing import _add_key_bucket, default_num_buckets
+from xhs_ocr_ray.stages.bucketing import (
+    _add_key_bucket,
+    default_num_buckets,
+    group_apply,
+)
 
 _WINDOW_OPS = ("lag", "lead", "cumsum", "row_number", "rolling_mean")
 
@@ -123,8 +127,9 @@ def keyed_window(ds, key_cols: list[str], order_cols: list[str],
         ds.map_batches(_add_key_bucket, batch_format="pyarrow",
                        fn_kwargs={"key_cols": key_cols,
                                   "num_buckets": default_num_buckets()})
-        .groupby("__kb")
-        .map_groups(bucket_window, batch_format="pandas")
+        .sort("__kb")
+        .map_batches(group_apply(bucket_window),
+                       batch_size=None, batch_format=None)
     )
 
 
@@ -157,8 +162,9 @@ def grouped_string_agg(ds, key_cols: list[str], val_col: str,
         proj.map_batches(_add_key_bucket, batch_format="pyarrow",
                          fn_kwargs={"key_cols": key_cols,
                                     "num_buckets": nb})
-        .groupby("__kb")
-        .map_groups(bucket_concat, batch_format="pandas")
+        .sort("__kb")
+        .map_batches(group_apply(bucket_concat),
+                       batch_size=None, batch_format=None)
     )
 
 
@@ -214,8 +220,9 @@ def _merge_level(level_ds, keys: list[str],
     return (
         level_ds.map_batches(_add_key_bucket, batch_format="pyarrow",
                              fn_kwargs={"key_cols": keys, "num_buckets": nb})
-        .groupby("__kb")
-        .map_groups(bucket_agg, batch_format="pandas")
+        .sort("__kb")
+        .map_batches(group_apply(bucket_agg),
+                       batch_size=None, batch_format=None)
     )
 
 
@@ -295,8 +302,9 @@ def _multi_level_aggregate(ds, group_cols: list[str],
         .map_batches(_add_key_bucket, batch_format="pyarrow",
                      fn_kwargs={"key_cols": ["__lvl", *group_cols],
                                 "num_buckets": nb})
-        .groupby("__kb")
-        .map_groups(bucket_agg, batch_format="pandas")
+        .sort("__kb")
+        .map_batches(group_apply(bucket_agg),
+                       batch_size=None, batch_format=None)
         .map_batches(finalize, batch_format="pyarrow")
     )
 
@@ -490,9 +498,21 @@ def sampled_quantiles(ds, *, value_col: str, key_col: str,
     thr = int(math.floor(rate * 65536))
 
     def keep(batch: pa.Table) -> pa.Table:
+        # rate 1.0 keeps everything — skip the md5 pass entirely; below it,
+        # hash each UNIQUE key once per block and gather (VERDICT r04 #3:
+        # the full-scan per-row md5 loop ran before sampling)
+        if thr >= 65536:
+            return batch
+        import numpy as np
+        import pandas as pd
+
         keys = batch.column(key_col).to_pylist()
-        mask = [int(md5_hex(str(k))[:4], 16) < thr for k in keys]
-        return batch.filter(pa.array(mask, pa.bool_()))
+        codes, uniques = pd.factorize(np.asarray(keys, dtype=object))
+        if not len(uniques):
+            return batch
+        hu = np.fromiter((int(md5_hex(str(k))[:4], 16) for k in uniques),
+                         np.int64, len(uniques))
+        return batch.filter(pa.array(hu[codes] < thr))
 
     rows = narrow.map_batches(keep, batch_format="pyarrow").take_all()
     vals = sorted(float(r[value_col]) for r in rows)

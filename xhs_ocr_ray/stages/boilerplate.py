@@ -37,7 +37,11 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from xhs_ocr_ray.functions.arrow import arrow_from_pandas
-from xhs_ocr_ray.stages.bucketing import _add_key_bucket, default_num_buckets
+from xhs_ocr_ray.stages.bucketing import (
+    _add_key_bucket,
+    default_num_buckets,
+    group_apply,
+)
 
 
 def _explode_lines(batch: pa.Table, *, text_col: str, id_col: str,
@@ -115,16 +119,18 @@ def banned_boilerplate_lines(lines, *, id_col: str, group_col: str,
         .map_batches(_add_key_bucket, batch_format="pyarrow",
                      fn_kwargs={"key_cols": [group_col, "__line", id_col],
                                 "num_buckets": nb})
-        .groupby("__kb")
-        .map_groups(partial_count, batch_format="pandas")
+        .sort("__kb")
+        .map_batches(group_apply(partial_count),
+                       batch_size=None, batch_format=None)
         .materialize()
     )
     return (
         partials.map_batches(_add_key_bucket, batch_format="pyarrow",
                              fn_kwargs={"key_cols": [group_col, "__line"],
                                         "num_buckets": nb})
-        .groupby("__kb")
-        .map_groups(total_count, batch_format="pandas")
+        .sort("__kb")
+        .map_batches(group_apply(total_count),
+                       batch_size=None, batch_format=None)
     ).materialize()
 
 
@@ -202,6 +208,7 @@ def boilerplate_line_filter(ds, *, text_col: str, id_col: str,
         lines.map_batches(_add_key_bucket, batch_format="pyarrow",
                           fn_kwargs={"key_cols": [id_col],
                                      "num_buckets": nb})
-        .groupby("__kb")
-        .map_groups(rebuild, batch_format="pandas")
+        .sort("__kb")
+        .map_batches(group_apply(rebuild),
+                       batch_size=None, batch_format=None)
     )

@@ -60,3 +60,45 @@ def _add_key_bucket(batch: pa.Table, key_cols: list[str],
     return batch.append_column(
         "__kb", pa.array((h % num_buckets).astype("int32"))
     )
+
+
+def group_apply(fn, *, batch_format: str = "pandas"):
+    """Per-``__kb``-group UDF wrapper for ``sort("__kb").map_batches(...,
+    batch_size=None, batch_format=None)`` — the repo's replacement for
+    ``groupby("__kb").map_groups(fn)`` with STABLE empty-block schemas.
+
+    Ray's ``map_groups`` wrapper yields NOTHING for an empty sorted
+    partition, so the task emits a zero-column block; downstream operators
+    pass such blocks through unprojected and the executor logs "RefBundle
+    with a different schema" — the warning class that produced real bugs in
+    r02 (CLAUDE.md typed-empty-frame rule). This wrapper is the same
+    per-group apply, but an empty TYPED input block runs ``fn`` on the
+    empty batch (every per-bucket kernel in this repo handles empty
+    chunks), so every output block carries the output schema. Column-less
+    input blocks (already-degenerate upstream empties) are dropped.
+    """
+    from ray.data.block import BlockAccessor
+
+    def apply_groups(block):
+        acc = BlockAccessor.for_block(block)
+        if acc.num_rows() == 0:
+            if len(acc.schema().names) > 0:
+                yield fn(acc.to_batch_format(batch_format))
+            return
+        bounds = acc._get_group_boundaries_sorted(["__kb"])
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            g = BlockAccessor.for_block(acc.slice(s, e, copy=False))
+            yield fn(g.to_batch_format(batch_format))
+
+    apply_groups.__name__ = getattr(fn, "__name__", "group_apply")
+    return apply_groups
+
+
+def bucket_map_groups(ds, fn, *, batch_format: str = "pandas"):
+    """Function form of :func:`group_apply`:
+    ``bucket_map_groups(ds, fn)`` ≡ the chained
+    ``ds.sort("__kb").map_batches(group_apply(fn), batch_size=None,
+    batch_format=None)``."""
+    return ds.sort("__kb").map_batches(
+        group_apply(fn, batch_format=batch_format),
+        batch_size=None, batch_format=None)

@@ -36,7 +36,11 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from xhs_ocr_ray.stages.bucketing import _add_key_bucket, default_num_buckets
+from xhs_ocr_ray.stages.bucketing import (
+    _add_key_bucket,
+    default_num_buckets,
+    group_apply,
+)
 
 MAX_ITERS = 50
 _ROWS_PER_BLOCK = 500_000  # compaction target for the small label/edge sets
@@ -158,7 +162,7 @@ def connected_components(edges_ds, *, max_iters: int = MAX_ITERS,
         return pd.DataFrame({"node": nodes, "label": nodes})
 
     labels = persist(
-        edges.groupby("__kb").map_groups(init_bucket, batch_format="pandas"),
+        edges.sort("__kb").map_batches(group_apply(init_bucket),                batch_size=None, batch_format=None),
         "labels_init",
     )
     if spilling:
@@ -212,8 +216,9 @@ def connected_components(edges_ds, *, max_iters: int = MAX_ITERS,
             .union(labels.map_batches(tag_labels_as_msgs, batch_format="pyarrow"))
             .map_batches(_add_key_bucket, batch_format="pyarrow",
                          fn_kwargs={"key_cols": ["key"], "num_buckets": nb})
-            .groupby("__kb")
-            .map_groups(propagate, batch_format="pandas")
+            .sort("__kb")
+            .map_batches(group_apply(propagate),
+                           batch_size=None, batch_format=None)
         )
 
         def tag_msgs(batch: pa.Table) -> pa.Table:
@@ -233,8 +238,9 @@ def connected_components(edges_ds, *, max_iters: int = MAX_ITERS,
             .union(labels.map_batches(tag_labels, batch_format="pyarrow"))
             .map_batches(_add_key_bucket, batch_format="pyarrow",
                          fn_kwargs={"key_cols": ["node"], "num_buckets": nb})
-            .groupby("__kb")
-            .map_groups(combine, batch_format="pandas")
+            .sort("__kb")
+            .map_batches(group_apply(combine),
+                           batch_size=None, batch_format=None)
         )
         new_labels = persist(combined, f"labels_{round_no}")
         n_changed = new_labels.sum("changed") or 0
@@ -303,6 +309,7 @@ def assign_clusters(ds, id_col: str, labels_ds):
         .map_batches(_add_key_bucket, batch_format="pyarrow",
                      fn_kwargs={"key_cols": ["node"],
                                 "num_buckets": default_num_buckets()})
-        .groupby("__kb")
-        .map_groups(pick, batch_format="pandas")
+        .sort("__kb")
+        .map_batches(group_apply(pick),
+                       batch_size=None, batch_format=None)
     )

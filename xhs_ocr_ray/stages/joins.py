@@ -26,7 +26,12 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from xhs_ocr_ray.stages.bucketing import _add_key_bucket, default_num_buckets
+from xhs_ocr_ray.stages.bucketing import (
+    _add_key_bucket,
+    bucket_map_groups,
+    default_num_buckets,
+    group_apply,
+)
 
 _KIND = "__kind"
 _RTS = "__rts"
@@ -139,7 +144,7 @@ def asof_join(left_ds, right_ds, *, by_col: str, ts_col: str,
         .map_batches(_add_key_bucket, batch_format="pyarrow",
                      fn_kwargs={"key_cols": [by_col], "num_buckets": nb})
     )
-    return tagged.groupby("__kb").map_groups(bucket_asof, batch_format="pandas")
+    return tagged.sort("__kb").map_batches(group_apply(bucket_asof),                batch_size=None, batch_format=None)
 
 
 def shuffle_join(left_ds, right_ds, *, on: str | list[str],
@@ -236,7 +241,7 @@ def shuffle_join(left_ds, right_ds, *, on: str | list[str],
                      fn_kwargs={"key_cols": [f.name for f in key_fields],
                                 "num_buckets": nb})
     )
-    return tagged.groupby("__kb").map_groups(bucket_join, batch_format="pyarrow")
+    return tagged.sort("__kb").map_batches(group_apply(bucket_join, batch_format="pyarrow"),                batch_size=None, batch_format=None)
 
 
 def range_join_broadcast(left_ds, ranges: pa.Table, *, ts_col: str,
@@ -371,5 +376,4 @@ def range_join_shuffle(left_ds, ranges_ds, *, ts_col: str, start_col: str,
         .map_batches(_add_key_bucket, batch_format="pyarrow",
                      fn_kwargs={"key_cols": ["__gc"], "num_buckets": nb})
     )
-    return tagged.groupby("__kb").map_groups(cell_join,
-                                             batch_format="pandas")
+    return bucket_map_groups(tagged, cell_join)

@@ -109,17 +109,20 @@ def related_merge(tables: list, key_cols: list[str]):
         out[value_cols] = out[value_cols].fillna("")
         return out
 
-    from xhs_ocr_ray.stages.dedup import _add_key_bucket, default_num_buckets
+    from xhs_ocr_ray.stages.dedup import (
+        _add_key_bucket,
+        default_num_buckets,
+        group_apply,
+    )
 
     return (
         unioned.map_batches(_add_key_bucket, batch_format="pyarrow",
                             fn_kwargs={"key_cols": key_cols,
                                        "num_buckets": default_num_buckets()})
-        .groupby("__kb")
-        .map_groups(
-            lambda c: coalesce_bucket(c.drop(columns="__kb")),
-            batch_format="pandas",
-        )
+        .sort("__kb")
+        .map_batches(
+            group_apply(lambda c: coalesce_bucket(c.drop(columns="__kb"))),
+            batch_size=None, batch_format=None)
     )
 
 
@@ -132,7 +135,11 @@ def related_key_count(tables: list, key_cols: list[str]):
     for t in aligned[1:]:
         unioned = unioned.union(t)
 
-    from xhs_ocr_ray.stages.dedup import _add_key_bucket, default_num_buckets
+    from xhs_ocr_ray.stages.dedup import (
+        _add_key_bucket,
+        default_num_buckets,
+        group_apply,
+    )
 
     def bucket_counts(chunk: pd.DataFrame) -> pd.DataFrame:
         per_key = chunk.groupby(key_cols, sort=False)[_SRC_COL].nunique()
@@ -142,8 +149,9 @@ def related_key_count(tables: list, key_cols: list[str]):
         unioned.map_batches(_add_key_bucket, batch_format="pyarrow",
                             fn_kwargs={"key_cols": key_cols,
                                        "num_buckets": default_num_buckets()})
-        .groupby("__kb")
-        .map_groups(bucket_counts, batch_format="pandas")
+        .sort("__kb")
+        .map_batches(group_apply(bucket_counts),
+                     batch_size=None, batch_format=None)
     )
     return int(sum(r["n_multi"] for r in per_bucket.take_all()))
 

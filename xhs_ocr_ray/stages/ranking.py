@@ -27,7 +27,11 @@ import pandas as pd
 import pyarrow as pa
 
 from xhs_ocr_ray.functions.arrow import arrow_from_pandas
-from xhs_ocr_ray.stages.bucketing import _add_key_bucket, default_num_buckets
+from xhs_ocr_ray.stages.bucketing import (
+    _add_key_bucket,
+    default_num_buckets,
+    group_apply,
+)
 
 
 def _topk_kernel(df: pd.DataFrame, key_cols: list[str], order_col: str,
@@ -79,8 +83,9 @@ def grouped_topk(ds, key_cols: list[str], order_col: str, k: int, *,
         .map_batches(_add_key_bucket, batch_format="pyarrow",
                      fn_kwargs={"key_cols": key_cols,
                                 "num_buckets": default_num_buckets()})
-        .groupby("__kb")
-        .map_groups(bucket_topk, batch_format="pandas")
+        .sort("__kb")
+        .map_batches(group_apply(bucket_topk),
+                       batch_size=None, batch_format=None)
     )
 
 
@@ -117,6 +122,7 @@ def grouped_quantiles(ds, key_cols: list[str], val_col: str,
         .map_batches(_add_key_bucket, batch_format="pyarrow",
                      fn_kwargs={"key_cols": key_cols,
                                 "num_buckets": default_num_buckets()})
-        .groupby("__kb")
-        .map_groups(bucket_quants, batch_format="pandas")
+        .sort("__kb")
+        .map_batches(group_apply(bucket_quants),
+                       batch_size=None, batch_format=None)
     )

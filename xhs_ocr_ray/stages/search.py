@@ -64,18 +64,32 @@ class InvertedIndex:
             return
 
         def postings(batch: pa.Table) -> pa.Table:
-            ids = batch.column(id_col).to_pylist()
-            texts = batch.column(text_col).to_pylist()
-            out_tb, out_tok, out_id = [], [], []
-            for i, t in zip(ids, texts):
-                for tok in {w for w in (t or "").split(" ") if w}:
-                    out_tb.append(_token_bucket(tok, nb))
-                    out_tok.append(tok)
-                    out_id.append(i)
+            # vectorized explode (the _explode_lines idiom, VERDICT r04 #4):
+            # one split kernel + parent-index gather, distinct (token, id)
+            # via a single drop_duplicates, and the md5 token bucket is
+            # computed once per UNIQUE token per block (vocab ≪ occurrences)
+            import pandas as pd
+            import pyarrow.compute as pc
+
+            texts = batch.column(text_col).combine_chunks()
+            split = pc.split_pattern(
+                pc.coalesce(texts, pa.scalar("", texts.type)), pattern=" ")
+            flat = pc.list_flatten(split)
+            parent = pc.list_parent_indices(split)
+            df = pd.DataFrame({
+                "token": flat.to_pandas(),
+                id_col: batch.column(id_col).take(parent).to_pandas(),
+            })
+            df = df[df["token"] != ""].drop_duplicates(["token", id_col])
+            codes, uniques = pd.factorize(df["token"])
+            tb_u = np.fromiter(
+                (_token_bucket(t, nb) for t in uniques), np.int64,
+                len(uniques))
             return pa.table({
-                "tb": pa.array(out_tb, pa.int64()),
-                "token": pa.array(out_tok, pa.string()),
-                id_col: pa.array(out_id, pa.int64()),
+                "tb": pa.array(tb_u[codes] if len(df) else
+                               np.empty(0, np.int64)),
+                "token": pa.Array.from_pandas(df["token"]).cast(pa.string()),
+                id_col: pa.array(df[id_col].to_numpy(), pa.int64()),
             })
 
         tmp_dir = f"{self.index_dir}.build.{uuid.uuid4().hex}"

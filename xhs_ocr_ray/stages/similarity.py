@@ -488,6 +488,7 @@ def lsh_similarity_join(left_ds, index: "LshIndexSearch", *,
     from xhs_ocr_ray.stages.bucketing import (
         _add_key_bucket,
         default_num_buckets,
+        group_apply,
     )
     from xhs_ocr_ray.stages.dedup import _binary_matrix
 
@@ -581,9 +582,9 @@ def lsh_similarity_join(left_ds, index: "LshIndexSearch", *,
               .map_batches(_add_key_bucket, batch_format="pyarrow",
                            fn_kwargs={"key_cols": ["code"],
                                       "num_buckets": default_num_buckets()})
-              .groupby("__kb")
-              .map_groups(lambda g: probe_group(g.drop(columns="__kb")),
-                          batch_format="pandas"))
+              .sort("__kb")
+              .map_batches(group_apply(lambda g: probe_group(g.drop(columns="__kb"))),
+                             batch_size=None, batch_format=None))
 
     def best_per_qid(group: pd.DataFrame) -> pd.DataFrame:
         ordered = group.sort_values(["sim", "cand"],
@@ -596,6 +597,6 @@ def lsh_similarity_join(left_ds, index: "LshIndexSearch", *,
                                fn_kwargs={"key_cols": ["qid"],
                                           "num_buckets":
                                           default_num_buckets()})
-            .groupby("__kb")
-            .map_groups(lambda g: best_per_qid(g.drop(columns="__kb")),
-                        batch_format="pandas"))
+            .sort("__kb")
+            .map_batches(group_apply(lambda g: best_per_qid(g.drop(columns="__kb"))),
+                           batch_size=None, batch_format=None))

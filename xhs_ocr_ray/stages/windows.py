@@ -23,7 +23,11 @@ import pyarrow as pa
 
 from xhs_ocr_ray.functions.arrow import arrow_from_pandas
 
-from xhs_ocr_ray.stages.dedup import _add_key_bucket, default_num_buckets
+from xhs_ocr_ray.stages.dedup import (
+    _add_key_bucket,
+    default_num_buckets,
+    group_apply,
+)
 
 
 def sessionize(ds, key_col: str, ts_col: str, gap_us: int,
@@ -65,8 +69,9 @@ def sessionize(ds, key_col: str, ts_col: str, gap_us: int,
         ds.map_batches(_add_key_bucket, batch_format="pyarrow",
                        fn_kwargs={"key_cols": [key_col],
                                   "num_buckets": default_num_buckets()})
-        .groupby("__kb")
-        .map_groups(bucket_sessions, batch_format="pandas")
+        .sort("__kb")
+        .map_batches(group_apply(bucket_sessions),
+                       batch_size=None, batch_format=None)
     )
 
 

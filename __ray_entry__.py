@@ -640,11 +640,26 @@ def _derived_dup_corpus(sf_dir: str, table: str, id_col: str, val_col: str,
     corpus's natural near-duplicates so LSH clustering has a closed-form SQL
     oracle (groupby the salted value). Test scaffolding: the broadcast of the
     base table is fine at correctness scale; the operators under test are the
-    scale-safe ones."""
+    scale-safe ones.
+
+    The derivation is deterministic, so it is computed ONCE per corpus
+    version and cached as parquet in /tmp (the jsonl/arrow-cache idiom) —
+    it feeds four queries (minhash/simhash/incremental exact+near dedup)."""
+    import uuid
+
     import pyarrow as pa
 
+    from xhs_ocr_ray.functions.arrow import read_parquet_clean
     from xhs_ocr_ray.functions.hashing import md5_hex
     from xhs_ocr_ray.stages.merge import broadcast_join
+
+    tag = _source_tag(sf_dir, table)
+    cache = f"/tmp/xhs_dupcorpus/{table}_{tag}_{'s' if salt else 'p'}_v1"
+    if os.path.isdir(cache):
+        files = sorted(os.path.join(cache, f) for f in os.listdir(cache)
+                       if f.endswith(".parquet"))
+        return read_parquet_clean(
+            files, override_num_blocks=min(len(files), 16))
 
     ids = _read(sf_dir, table, columns=[id_col])
 
@@ -668,7 +683,20 @@ def _derived_dup_corpus(sf_dir: str, table: str, id_col: str, val_col: str,
             vals = b.column("__bv")
         return pa.table({id_col: b.column(id_col), val_col: vals})
 
-    return joined.map_batches(finish, batch_format="pyarrow")
+    derived = joined.map_batches(finish, batch_format="pyarrow")
+    tmp = cache + f".build.{uuid.uuid4().hex}"
+    derived.write_parquet(tmp)
+    os.makedirs(os.path.dirname(cache), exist_ok=True)
+    try:
+        os.rename(tmp, cache)
+    except OSError:  # lost a build race: another process renamed first
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+    files = sorted(os.path.join(cache, f) for f in os.listdir(cache)
+                   if f.endswith(".parquet"))
+    return read_parquet_clean(files,
+                              override_num_blocks=min(len(files), 16))
 
 
 # -- rows-only (non-SQL-expressible) ----------------------------------------
@@ -1750,17 +1778,18 @@ def _q_incremental_minhash(sf_dir: str):
     drop the rest of the even groups against the persisted band index and
     near-dedup the odd groups within the batch (smallest id survives).
     Salted texts make every true dup pair est = 1.0 ≥ 0.9 and every
-    cross-group pair ~0, so the exact-text SQL oracle is closed-form."""
-    import hashlib
+    cross-group pair ~0, so the exact-text SQL oracle is closed-form.
+
+    Fixture caching (the jsonl/arrow-cache idiom): run 1's band index is
+    deterministic, so it is built once per corpus version and COPIED to a
+    fresh dir per call — run 2 appends run_1 to the copy, never the
+    cache, preserving replayability while paying the two-run cost once."""
     import shutil
+    import uuid
 
     import pyarrow as pa
 
     from xhs_ocr_ray.stages.dedup import incremental_minhash_dedup
-
-    idx = ("/tmp/xhs_incr_mh_idx/"
-           + hashlib.md5(sf_dir.encode()).hexdigest()[:12])
-    shutil.rmtree(idx, ignore_errors=True)  # each call replays both runs
 
     corpus = _derived_dup_corpus(
         sf_dir, "documents", "doc_id", "text", salt=True).materialize()
@@ -1772,11 +1801,27 @@ def _q_incremental_minhash(sf_dir: str):
             return b.filter(pa.array(mask if old else ~mask))
         return corpus.map_batches(f, batch_format="pyarrow")
 
-    incremental_minhash_dedup(half(True), idx, text_col="text",
-                              id_col="doc_id", threshold=0.9)
-    survivors = incremental_minhash_dedup(half(False), idx, text_col="text",
-                                          id_col="doc_id", threshold=0.9)
-    return survivors.select_columns(["doc_id"])
+    tag = _source_tag(sf_dir, "documents")
+    base = f"/tmp/xhs_incr_mh_base/{tag}_v1"
+    if not os.path.isdir(base):
+        tmp = base + f".build.{uuid.uuid4().hex}"
+        incremental_minhash_dedup(half(True), tmp, text_col="text",
+                                  id_col="doc_id", threshold=0.9)
+        os.makedirs(os.path.dirname(base), exist_ok=True)
+        try:
+            os.rename(tmp, base)
+        except OSError:  # lost a build race: another process renamed first
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    idx = f"/tmp/xhs_incr_mh_run/{tag}_{uuid.uuid4().hex}"
+    shutil.copytree(base, idx)
+    try:
+        survivors = incremental_minhash_dedup(
+            half(False), idx, text_col="text", id_col="doc_id",
+            threshold=0.9)
+        return survivors.select_columns(["doc_id"])
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
 
 
 def _q_outer_join(sf_dir: str):

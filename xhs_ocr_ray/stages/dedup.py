@@ -87,12 +87,28 @@ def combine_first_wins(ds, key_cols: list[str], order_col: str):
     subsequent key exchange ships to ≤ 1 per key per input block — a key
     duplicated millions of times (hot url / cookie-banner paragraph) no
     longer lands entirely in one bucket task's input (VERDICT r04 #1).
-    Exposed separately so the skew test can count post-combine rows."""
+    Exposed separately so the skew test can count post-combine rows.
 
-    def block_combine(df: pd.DataFrame) -> pd.DataFrame:
-        return _first_wins(df, key_cols, order_col)
+    Arrow-native: the block sorts with ``pc.sort_indices`` under the SAME
+    total order as the bucket reducer (so the local winner IS the only
+    global-winner candidate), and only the KEY columns round-trip through
+    pandas for the duplicated-mask — a full-table pandas conversion here
+    cost the flagship +11% wall (measured same-window A/B at sf0.1)."""
+    import pyarrow.compute as pc_
 
-    return ds.map_batches(block_combine, batch_format="pandas")
+    def block_combine(batch: pa.Table) -> pa.Table:
+        if batch.num_rows <= 1:
+            return batch
+        other = [c for c in batch.column_names if c not in key_cols]
+        sort_keys = [(order_col, "ascending")] + [
+            (c, "ascending") for c in other if c != order_col]
+        idx = pc_.sort_indices(batch, sort_keys=sort_keys)
+        mask = ~batch.select(key_cols).take(idx).to_pandas() \
+            .duplicated(keep="first").to_numpy()
+        # gather winners only — never materialize the sorted full block
+        return batch.take(idx.filter(pa.array(mask)))
+
+    return ds.map_batches(block_combine, batch_format="pyarrow")
 
 
 def exact_dedup(ds, key_cols: list[str], order_col: str):
@@ -1326,13 +1342,20 @@ def incremental_minhash_dedup(new_ds, index_dir: str, *, text_col: str,
         hit = m.loc[est >= threshold, [id_col]].drop_duplicates()
         return hit.astype({id_col: "int64"})
 
+    from xhs_ocr_ray.stages.components import _compact
+
     band_ds = sig_ds.map_batches(
         band_rows_i64, batch_format="pyarrow").materialize()
-    matched = (
+    # compact every bucketed-exchange output feeding a later sort: an
+    # un-compacted 128-block sliver stream costs the consumer's sort
+    # ~linear in block count (the CLAUDE.md tiny-block rule — this was
+    # 19→6 s per incremental run when first measured)
+    matched = _compact(
         band_ds
         .sort("__kb")
         .map_batches(group_apply(probe_bucket),
                      batch_size=None, batch_format=None)
+        .materialize()
     )
 
     # -- survivors: cluster reps minus index hits, resolved in ONE narrow
@@ -1365,10 +1388,10 @@ def incremental_minhash_dedup(new_ds, index_dir: str, *, text_col: str,
             "__side": pa.array(np.full(b.num_rows, 3, np.int8)),
         })
 
-    reps = clusters.map_batches(
+    reps = _compact(clusters.map_batches(
         lambda b: b.filter(pc.equal(b.column(id_col),
                                     b.column("cluster_id"))),
-        batch_format="pyarrow")
+        batch_format="pyarrow").materialize())
 
     def pick_survivors(chunk: pd.DataFrame) -> pa.Table:
         rows = chunk[chunk["__side"] == 0]
@@ -1398,6 +1421,7 @@ def incremental_minhash_dedup(new_ds, index_dir: str, *, text_col: str,
         .map_batches(group_apply(pick_survivors),
                      batch_size=None, batch_format=None)
     ).materialize()
+    survivors = _compact(survivors)
 
     # -- append survivors' band rows atomically as run_<k+1>: recompute the
     # band fold from the attached sigs (narrow map), exchange once on the

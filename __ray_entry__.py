@@ -406,6 +406,39 @@ def _q_semi_join(sf_dir: str):
     return broadcast_join(cust, order_keys, on="c_custkey", select={}, how="semi")
 
 
+def _q_bloom_semi_join(sf_dir: str):
+    """Bloom-prefiltered semi join: clicks by users who placed ≥1 URGENT
+    order. The bloom filter (stages/bloom: per-block bitmaps OR-reduced
+    through a 2-level tree, one filter-sized driver row) prunes the big
+    side BEFORE the exact broadcast semi join removes its false positives
+    — the standard big×small pre-join shape at corpus scale. Result is
+    exact regardless of FPR, so the SQL oracle is a plain semi join."""
+    import pyarrow.compute as pc
+
+    from xhs_ocr_ray.stages.bloom import bloom_prefilter, build_bloom
+    from xhs_ocr_ray.stages.merge import broadcast_join
+
+    urgent = (
+        _read(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"])
+        .map_batches(
+            lambda b: b.filter(pc.equal(b.column("o_orderpriority"),
+                                        _URGENT))
+            .drop_columns(["o_orderpriority"])
+            .rename_columns(["user_id"]),
+            batch_format="pyarrow")
+    ).materialize()  # consumed twice: bloom build + exact verify
+    events = _read(sf_dir, "events",
+                   columns=["event_id", "user_id", "event_type"]) \
+        .map_batches(
+            lambda b: b.filter(pc.equal(b.column("event_type"), "click"))
+            .drop_columns(["event_type"]),
+            batch_format="pyarrow")
+    words = build_bloom(urgent, "user_id", n_bits=1 << 20)
+    pruned = bloom_prefilter(events, "user_id", words)
+    return broadcast_join(pruned, urgent, on="user_id", select={},
+                          how="semi")
+
+
 def _q_anti_join(sf_dir: str):
     """Customers with no URGENT orders (broadcast anti join, non-empty)."""
     import pyarrow.compute as pc
@@ -751,6 +784,24 @@ def _q_minhash_dedup(sf_dir: str):
 
     corpus = _derived_dup_corpus(sf_dir, "documents", "doc_id", "text", salt=True)
     return minhash_lsh_dedup(corpus, "text", "doc_id", threshold=0.9)
+
+
+def _q_minhash_dedup_apply(sf_dir: str):
+    """The ACTION form of minhash near-dup (reference drops, never
+    annotates — db/__init__.py:110-120): keep only each cluster's
+    smallest-id representative."""
+    import pyarrow.compute as pc
+
+    from xhs_ocr_ray.stages.dedup import minhash_lsh_dedup
+
+    corpus = _derived_dup_corpus(sf_dir, "documents", "doc_id", "text",
+                                 salt=True)
+    clusters = minhash_lsh_dedup(corpus, "text", "doc_id", threshold=0.9)
+    return clusters.map_batches(
+        lambda b: b.filter(pc.equal(b.column("doc_id"),
+                                    b.column("cluster_id")))
+        .drop_columns(["cluster_id"]),
+        batch_format="pyarrow")
 
 
 def _q_simhash_dedup(sf_dir: str):
@@ -1196,6 +1247,32 @@ def _q_repeated_windows(sf_dir: str):
 
     return repeated_window_signals(
         _read(sf_dir, "documents", columns=["doc_id", "text"]), window=6)
+
+
+def _q_grouping_sets(sf_dir: str):
+    """GROUP BY GROUPING SETS((priority), (status), ()) — arbitrary
+    grouping sets from ONE scan + ONE exchange
+    (stages/analytics.grouping_sets_aggregate, the rollup/cube engine)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from xhs_ocr_ray.stages.analytics import grouping_sets_aggregate
+
+    orders = _read(
+        sf_dir, "orders",
+        columns=["o_orderpriority", "o_orderstatus", "o_totalprice"],
+    ).map_batches(
+        lambda b: b.append_column(
+            "price_i", pc.cast(pc.floor(b.column("o_totalprice")), pa.int64())
+        ).drop_columns(["o_totalprice"]),
+        batch_format="pyarrow",
+    )
+    return grouping_sets_aggregate(
+        orders, ["o_orderpriority", "o_orderstatus"],
+        [["o_orderpriority"], ["o_orderstatus"], []],
+        {"n_orders": ("price_i", "count"),
+         "sum_price_i": ("price_i", "sum")},
+    )
 
 
 def _q_quality_classifier(sf_dir: str):
@@ -2106,6 +2183,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_minhash": _q_incremental_minhash,
         "chunk_tokens_bpe": _q_chunk_tokens_bpe,
         "quality_classifier": _q_quality_classifier,
+        "bloom_semi_join": _q_bloom_semi_join,
+        "grouping_sets": _q_grouping_sets,
+        "minhash_dedup_apply": _q_minhash_dedup_apply,
         "window_filter": _q_window_filter,
         "related_merge": _q_related_merge,
         "related_count": _q_related_count,
@@ -2651,6 +2731,27 @@ def oracle_sql() -> dict[str, str]:
             WHERE n.fp NOT IN (SELECT fp FROM old)
               AND n.doc_id = (
                 SELECT min(doc_id) FROM new n2 WHERE n2.fp = n.fp)
+        """,
+        # -- bloom semi join: bloom is only a prefilter; the exact verify
+        # makes the result a plain semi join
+        "bloom_semi_join": f"""
+            SELECT e.event_id, e.user_id
+            FROM events e
+            WHERE e.event_type = 'click'
+              AND e.user_id IN (SELECT o_custkey FROM orders
+                                WHERE o_orderpriority = '{_URGENT}')
+        """,
+        # -- minhash apply: survivors = each salted-text group's min id
+        "minhash_dedup_apply": _SALTED_CLUSTER_SQL.replace(
+            "SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS cluster_id",
+            "SELECT DISTINCT min(doc_id) OVER (PARTITION BY text) AS doc_id"),
+        "grouping_sets": """
+            SELECT o_orderpriority, o_orderstatus,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT)
+                     AS sum_price_i
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
         """,
         # -- quality classifier: RE2 feature counts (same regex engine both
         # sides), integer weights — score is exact integer arithmetic

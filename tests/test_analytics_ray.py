@@ -433,3 +433,31 @@ def test_sampled_quantiles(ray_session):
     assert empty.num_rows == 0
     with pytest.raises(ValueError):
         sampled_quantiles(ds, value_col="v", key_col="k", qs=[0.0])
+
+
+def test_bucketed_exchange_sparse_buckets_keep_schema(ray_session):
+    """group_apply (the groupby('__kb') replacement) must emit TYPED blocks
+    even for empty sorted partitions — zero-column blocks from Ray's
+    map_groups were the source of the 'RefBundle with a different schema'
+    warnings (r05). With 2 keys spread over 8 blocks, most partitions are
+    empty; every output block must still carry the output columns."""
+    import ray
+    import ray.data
+
+    from xhs_ocr_ray.stages.dedup import exact_dedup
+
+    rows = [{"k": f"k{i % 2}", "ord": i, "v": f"v{i}"} for i in range(8)]
+    ds = ray.data.from_items(rows, override_num_blocks=8)
+    mat = exact_dedup(ds, ["k"], "ord").materialize()
+    df = mat.to_pandas().sort_values("k")
+    assert df["ord"].tolist() == [0, 1]
+    # every block CARRYING ROWS has the full output schema; Ray's sort may
+    # still emit 0-row 0-column bundles that skip map stages — harmless
+    # (and warning-free: the gate run asserts zero RefBundle warnings)
+    for ref in mat.get_internal_block_refs():
+        b = ray.get(ref)
+        if len(b) == 0:
+            continue
+        cols = (list(b.columns) if hasattr(b, "columns")
+                else b.schema.names)
+        assert cols == ["k", "ord", "v"], cols

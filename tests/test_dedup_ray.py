@@ -479,3 +479,52 @@ def test_incremental_minhash_dedup(ray_session):
     with pytest.raises(ValueError, match="geometry"):
         incremental_minhash_dedup(run2, idx, text_col="text",
                                   id_col="doc_id", bands=8)
+
+
+def test_incremental_minhash_sweeps_stale_staging(ray_session):
+    """A driver crash between bucket writes and the run-dir rename leaves
+    an orphaned _staging_* dir; the next run must sweep it (ADVICE r04
+    applied to the band index too)."""
+    import os
+    import shutil
+
+    import ray.data
+
+    from xhs_ocr_ray.stages.dedup import incremental_minhash_dedup
+
+    idx = "/tmp/xhs_test_incr_mh_staging"
+    shutil.rmtree(idx, ignore_errors=True)
+    ds = ray.data.from_items(
+        [{"doc_id": 1, "text": "alpha beta gamma delta epsilon zeta"}],
+        override_num_blocks=1)
+    incremental_minhash_dedup(ds, idx, text_col="text", id_col="doc_id")
+    stale = os.path.join(idx, "_staging_deadbeef")
+    os.makedirs(os.path.join(stale, "bb=0"), exist_ok=True)
+    ds2 = ray.data.from_items(
+        [{"doc_id": 2, "text": "one two three four five six"}],
+        override_num_blocks=1)
+    incremental_minhash_dedup(ds2, idx, text_col="text", id_col="doc_id")
+    assert not os.path.exists(stale)
+    runs = sorted(d for d in os.listdir(idx) if d.startswith("run_"))
+    assert runs == ["run_0", "run_1"]
+
+
+def test_incremental_exact_sweeps_stale_staging(ray_session):
+    import os
+    import shutil
+
+    import ray.data
+
+    from xhs_ocr_ray.stages.dedup import incremental_exact_dedup
+
+    idx = "/tmp/xhs_test_incr_exact_staging"
+    shutil.rmtree(idx, ignore_errors=True)
+    ds = ray.data.from_items([{"doc_id": 1, "fp": "aaa"}],
+                             override_num_blocks=1)
+    incremental_exact_dedup(ds, idx, fp_col="fp", id_col="doc_id")
+    stale = os.path.join(idx, "_staging_deadbeef")
+    os.makedirs(os.path.join(stale, "kb=0"), exist_ok=True)
+    ds2 = ray.data.from_items([{"doc_id": 2, "fp": "bbb"}],
+                              override_num_blocks=1)
+    incremental_exact_dedup(ds2, idx, fp_col="fp", id_col="doc_id")
+    assert not os.path.exists(stale)

@@ -76,6 +76,12 @@ def group_apply(fn, *, batch_format: str = "pandas"):
     empty batch (every per-bucket kernel in this repo handles empty
     chunks), so every output block carries the output schema. Column-less
     input blocks (already-degenerate upstream empties) are dropped.
+
+    Note: the streaming executor skips map tasks for 0-row bundles, so a
+    sort's empty partitions may pass through as 0-row 0-column bundles
+    regardless — harmless (verified warning-free across the full oracle
+    gate); the typed-empty branch here covers the cases where an empty
+    block IS delivered to the task.
     """
     from ray.data.block import BlockAccessor
 

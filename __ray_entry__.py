@@ -1431,6 +1431,39 @@ def _q_ann_join_lsh(sf_dir: str):
     return out.select_columns(["qid", "nn_id"])
 
 
+def _q_ann_join_ivf(sf_dir: str):
+    """IVF-routed cosine NN join (stages/similarity.ivf_similarity_join —
+    completes the join matrix: broadcast / LSH-routed / IVF-routed). Run
+    at the exhaustive probe point (nprobe = n_centroids), where the
+    result is provably identical to brute force, so the same SQL is an
+    exact oracle; recall at lower nprobe is covered in tests."""
+    import os as _os
+
+    import pyarrow as pa
+
+    from xhs_ocr_ray.stages.similarity import (
+        IvfIndexSearch,
+        ivf_similarity_join,
+    )
+
+    def part(want_even: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            mask = (ids % 2 == 0) if want_even else (ids % 2 == 1)
+            return batch.filter(pa.array(mask, pa.bool_()))
+        return f
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    idx_dir = _os.path.join(
+        "/tmp/xhs_ivf_join_index", f"{_source_tag(sf_dir, 'embeddings')}_v1")
+    idx = IvfIndexSearch(emb.map_batches(part(True), batch_format="pyarrow"),
+                         n_centroids=8, index_dir=idx_dir,
+                         reuse_existing=True)
+    out = ivf_similarity_join(
+        emb.map_batches(part(False), batch_format="pyarrow"), idx, nprobe=8)
+    return out.select_columns(["qid", "nn_id"])
+
+
 def _q_cms_counts(sf_dir: str):
     """Count-Min sketch frequency estimates for the five event types plus
     an absent probe — deterministic md5 buckets, one domain-sized exchange;
@@ -2186,6 +2219,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_semi_join": _q_bloom_semi_join,
         "grouping_sets": _q_grouping_sets,
         "minhash_dedup_apply": _q_minhash_dedup_apply,
+        "ann_join_ivf": _q_ann_join_ivf,
         "window_filter": _q_window_filter,
         "related_merge": _q_related_merge,
         "related_count": _q_related_count,
@@ -3016,6 +3050,24 @@ def oracle_sql() -> dict[str, str]:
         # -- index-routed NN join at the exhaustive probe point == brute
         # force (column named qid on the Ray side)
         "ann_join_lsh": """
+            WITH a AS (
+              SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 1
+            ), b AS (
+              SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0
+            ), s AS (
+              SELECT a.vec_id AS qid, b.vec_id AS nn_id,
+                     row_number() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY list_cosine_similarity(a.embedding,
+                                                       b.embedding) DESC,
+                                b.vec_id) AS rn
+              FROM a CROSS JOIN b
+            )
+            SELECT qid, nn_id FROM s WHERE rn = 1
+        """,
+        # -- IVF-routed join at the exhaustive probe point: same brute
+        # force oracle as the LSH variant
+        "ann_join_ivf": """
             WITH a AS (
               SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 1
             ), b AS (

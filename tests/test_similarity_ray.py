@@ -223,3 +223,38 @@ def test_lsh_similarity_join_exhaustive_equals_brute(ray_session, tmp_path):
     corpus_ids = {c["vec_id"] for c in corpus}
     assert set(part.nn_id).issubset(corpus_ids)
     assert len(part) <= len(queries)
+
+
+def test_ivf_similarity_join_exhaustive_equals_brute(ray_session, tmp_path):
+    import numpy as np
+    import ray.data
+
+    from xhs_ocr_ray.stages.similarity import (
+        IvfIndexSearch,
+        ivf_similarity_join,
+        similarity_join,
+    )
+
+    rng = np.random.default_rng(11)
+    corpus = [{"vec_id": i, "embedding": rng.standard_normal(8).tolist()}
+              for i in range(0, 60, 2)]
+    queries = [{"vec_id": i, "embedding": rng.standard_normal(8).tolist()}
+               for i in range(1, 41, 2)]
+    right = ray.data.from_items(corpus, override_num_blocks=2)
+    left = ray.data.from_items(queries, override_num_blocks=3)
+
+    idx = IvfIndexSearch(right, n_centroids=4,
+                         index_dir=str(tmp_path / "ivf"))
+    # nprobe == n_centroids probes every cell == brute force
+    got = (ivf_similarity_join(left, idx, nprobe=4)
+           .to_pandas().set_index("qid").sort_index())
+    want = (similarity_join(left, right).to_pandas()
+            .set_index("vec_id").sort_index())
+    assert got.nn_id.tolist() == want.nn_id.tolist()
+    # nprobe=1 reads only each query's own cell: answers must be real
+    # corpus ids, every query still answered (no cell is empty here)
+    part = (ivf_similarity_join(left, idx, nprobe=1)
+            .to_pandas().set_index("qid").sort_index())
+    corpus_ids = {c["vec_id"] for c in corpus}
+    assert set(part.nn_id).issubset(corpus_ids)
+    assert len(part) <= len(queries)

@@ -541,6 +541,31 @@ def lsh_similarity_join(left_ds, index: "LshIndexSearch", *,
             "q": bytes_rows(np.repeat(unit, f, axis=0)),
         })
 
+    exploded = (left_ds.select_columns([id_col, vec_col])
+                .map_batches(explode, batch_format="pyarrow"))
+    return _routed_nn_join(exploded, index_dir=index_dir, part_col="code",
+                           index_id_col=index.id_col, out_col=out_col)
+
+
+def _routed_nn_join(exploded, *, index_dir: str, part_col: str,
+                    index_id_col: str, out_col: str):
+    """Shared tail of the index-routed NN joins (LSH ``code=`` / IVF
+    ``cid=`` routing): one bucketed exchange co-locates probe rows with
+    their posting-list partitions (each partition dir read once per
+    group, path-pruned), local top-1 per query via one matmul, then a
+    second narrow exchange keyed on the query id keeps the global best
+    (max sim, ties → smallest candidate id)."""
+    import os
+
+    import pandas as pd
+
+    from xhs_ocr_ray.stages.bucketing import (
+        _add_key_bucket,
+        default_num_buckets,
+        group_apply,
+    )
+    from xhs_ocr_ray.stages.dedup import _binary_matrix
+
     def probe_group(group: pd.DataFrame) -> pd.DataFrame:
         out_empty = pd.DataFrame({
             "qid": pd.Series([], dtype="int64"),
@@ -548,11 +573,11 @@ def lsh_similarity_join(left_ds, index: "LshIndexSearch", *,
             "sim": pd.Series([], dtype="float64"),
         })
         frames = []
-        for code, g in group.groupby("code", sort=False):
-            part = os.path.join(index_dir, f"code={int(code)}")
-            if not os.path.isdir(part):
+        for part, g in group.groupby(part_col, sort=False):
+            pdir = os.path.join(index_dir, f"{part_col}={int(part)}")
+            if not os.path.isdir(pdir):
                 continue
-            files = [os.path.join(part, f) for f in sorted(os.listdir(part))
+            files = [os.path.join(pdir, f) for f in sorted(os.listdir(pdir))
                      if f.endswith(".parquet")]
             if not files:
                 continue
@@ -562,7 +587,7 @@ def lsh_similarity_join(left_ds, index: "LshIndexSearch", *,
             unit_col = tbl.column("unit").combine_chunks()
             cmat = _binary_matrix(
                 unit_col, len(unit_col[0].as_py())).view(np.float64)
-            cids = tbl.column(index.id_col).to_numpy(zero_copy_only=False)
+            cids = tbl.column(index_id_col).to_numpy(zero_copy_only=False)
             order = np.argsort(cids, kind="stable")  # argmax tie → min id
             cids, cmat = cids[order], cmat[order]
             qmat = np.frombuffer(
@@ -577,15 +602,6 @@ def lsh_similarity_join(left_ds, index: "LshIndexSearch", *,
             }))
         return pd.concat(frames, ignore_index=True) if frames else out_empty
 
-    probes = (left_ds.select_columns([id_col, vec_col])
-              .map_batches(explode, batch_format="pyarrow")
-              .map_batches(_add_key_bucket, batch_format="pyarrow",
-                           fn_kwargs={"key_cols": ["code"],
-                                      "num_buckets": default_num_buckets()})
-              .sort("__kb")
-              .map_batches(group_apply(lambda g: probe_group(g.drop(columns="__kb"))),
-                             batch_size=None, batch_format=None))
-
     def best_per_qid(group: pd.DataFrame) -> pd.DataFrame:
         ordered = group.sort_values(["sim", "cand"],
                                     ascending=[False, True],
@@ -593,10 +609,76 @@ def lsh_similarity_join(left_ds, index: "LshIndexSearch", *,
         out = ordered.drop_duplicates(subset=["qid"], keep="first")
         return out.rename(columns={"cand": out_col})[["qid", out_col, "sim"]]
 
+    probes = (exploded
+              .map_batches(_add_key_bucket, batch_format="pyarrow",
+                           fn_kwargs={"key_cols": [part_col],
+                                      "num_buckets": default_num_buckets()})
+              .sort("__kb")
+              .map_batches(
+                  group_apply(lambda g: probe_group(g.drop(columns="__kb"))),
+                  batch_size=None, batch_format=None))
     return (probes.map_batches(_add_key_bucket, batch_format="pyarrow",
                                fn_kwargs={"key_cols": ["qid"],
                                           "num_buckets":
                                           default_num_buckets()})
             .sort("__kb")
-            .map_batches(group_apply(lambda g: best_per_qid(g.drop(columns="__kb"))),
-                           batch_size=None, batch_format=None))
+            .map_batches(
+                group_apply(lambda g: best_per_qid(g.drop(columns="__kb"))),
+                batch_size=None, batch_format=None))
+
+
+def ivf_similarity_join(left_ds, index: "IvfIndexSearch", *,
+                        vec_col: str = "embedding", id_col: str = "vec_id",
+                        out_col: str = "nn_id", nprobe: int | None = None):
+    """Corpus-scale cosine NN join routed through an IVF index — the
+    coarse-quantizer sibling of :func:`lsh_similarity_join` (completes the
+    join matrix: broadcast / LSH-routed / IVF-routed).
+
+    1. every left vector emits one probe row per probed centroid
+       (``nprobe`` nearest by float32 dot — BIT-identical to the build's
+       ``assign_rows`` assignment, so a vector always probes the cell it
+       was indexed into);
+    2./3. the shared routed tail (:func:`_routed_nn_join`).
+
+    ``nprobe >= n_centroids`` probes every cell and is EXACTLY brute
+    force (the oracle point); small values trade recall for reading fewer
+    posting lists. Returns ``(qid, nn_id, sim)``; queries whose probed
+    cells are all empty are absent.
+    """
+    from xhs_ocr_ray.functions.arrow import bytes_rows
+
+    cents = index.centroids
+    if cents is None or not len(cents):
+        raise ValueError("ivf_similarity_join: index has no centroids")
+    np_ = min(nprobe or index.nprobe, len(cents))
+    index_dir = index.index_dir
+
+    def explode(batch: pa.Table) -> pa.Table:
+        mat = list_matrix(batch.column(vec_col), dtype=np.float64)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        if mat.size == 0:
+            return pa.table({"cid": pa.array([], pa.int64()),
+                             "qid": pa.array([], pa.int64()),
+                             "q": pa.array([], pa.binary())})
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        unit = mat / norms  # float64 ranking payload (oracle parity)
+        # centroid routing mirrors IvfIndexSearch.assign_rows bit-exactly:
+        # float32 normalize, float32 matmul (the lsh_similarity_join
+        # build/probe-parity rule, ADVICE r04)
+        mat32 = mat.astype(np.float32)
+        n32 = np.linalg.norm(mat32, axis=1, keepdims=True)
+        n32[n32 == 0] = 1.0
+        sims_c = (mat32 / n32).astype(np.float32) @ cents.T
+        top = np.argsort(-sims_c, axis=1, kind="stable")[:, :np_]
+        n = len(ids)
+        return pa.table({
+            "cid": pa.array(top.ravel().astype(np.int64)),
+            "qid": pa.array(np.repeat(ids, np_).astype(np.int64)),
+            "q": bytes_rows(np.repeat(unit, np_, axis=0)),
+        })
+
+    exploded = (left_ds.select_columns([id_col, vec_col])
+                .map_batches(explode, batch_format="pyarrow"))
+    return _routed_nn_join(exploded, index_dir=index_dir, part_col="cid",
+                           index_id_col=index.id_col, out_col=out_col)

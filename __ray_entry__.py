@@ -1119,6 +1119,36 @@ def _q_unigram_logprob(sf_dir: str):
         _read(sf_dir, "documents", columns=["doc_id", "text"]))
 
 
+def _q_ccnet_buckets(sf_dir: str):
+    """CCNet head/middle/tail corpus split (Wenzek et al. 2020): per-LANG
+    terciles of the unigram-LM quality score — the composed bucketing
+    step that follows the perplexity filter in real corpus pipelines.
+    unigram_logprob (integer micro-nats) → lang attached via the bucketed
+    join → grouped_ntile(3) per lang (NTILE semantics, DuckDB-exact)."""
+    import pyarrow as pa
+
+    from xhs_ocr_ray.stages.components import _compact
+    from xhs_ocr_ray.stages.dedup import _bucket_attach
+    from xhs_ocr_ray.stages.ranking import grouped_ntile
+    from xhs_ocr_ray.stages.text_analysis import unigram_logprob
+
+    scores = _compact(unigram_logprob(
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ).materialize())
+    langs = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    with_lang = _bucket_attach(
+        scores, "doc_id", langs, "doc_id", "lang", "lang",
+        left_schema=pa.schema([
+            ("doc_id", pa.int64()), ("n_tokens", pa.int64()),
+            ("logprob_micro", pa.int64()),
+            ("mean_logprob_micro", pa.float64())]),
+        val_type=pa.string())
+    out = grouped_ntile(with_lang, ["lang"], "mean_logprob_micro", 3,
+                        descending=True, tie_cols=("doc_id",),
+                        out_col="ccnet_bucket")
+    return out.select_columns(["doc_id", "lang", "ccnet_bucket"])
+
+
 def _q_keyword_search(sf_dir: str):
     """Inverted-index AND search: build (or reuse) the hive-partitioned
     posting-list index over documents, then find docs containing both
@@ -2220,6 +2250,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouping_sets": _q_grouping_sets,
         "minhash_dedup_apply": _q_minhash_dedup_apply,
         "ann_join_ivf": _q_ann_join_ivf,
+        "ccnet_buckets": _q_ccnet_buckets,
         "window_filter": _q_window_filter,
         "related_merge": _q_related_merge,
         "related_count": _q_related_count,
@@ -3367,6 +3398,39 @@ def oracle_sql() -> dict[str, str]:
                      / CAST(sum(f.tf) AS DOUBLE) AS mean_logprob_micro
             FROM tf f JOIN lp ON f.token = lp.token
             GROUP BY f.doc_id
+        """,
+        # -- ccnet buckets: per-lang NTILE(3) over the unigram score
+        "ccnet_buckets": """
+            WITH tok AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS w
+              FROM documents
+            ), ex AS (
+              SELECT doc_id, u.t AS token FROM tok, UNNEST(w) AS u(t)
+            ), tf AS (
+              SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+              FROM ex GROUP BY doc_id, token
+            ), cnt AS (
+              SELECT token, CAST(sum(tf) AS BIGINT) AS cnt
+              FROM tf GROUP BY token
+            ), tot AS (
+              SELECT CAST(sum(tf) AS DOUBLE) AS t FROM tf
+            ), lp AS (
+              SELECT token,
+                     CAST(floor(ln(cnt / tot.t) * 1000000) AS BIGINT) AS lpm
+              FROM cnt CROSS JOIN tot
+            ), score AS (
+              SELECT f.doc_id,
+                     CAST(sum(f.tf * lp.lpm) AS DOUBLE)
+                       / CAST(sum(f.tf) AS DOUBLE) AS m
+              FROM tf f JOIN lp ON f.token = lp.token
+              GROUP BY f.doc_id
+            )
+            SELECT s.doc_id, d.lang,
+                   CAST(ntile(3) OVER (
+                     PARTITION BY d.lang
+                     ORDER BY s.m DESC, s.doc_id) AS BIGINT) AS ccnet_bucket
+            FROM score s JOIN documents d ON d.doc_id = s.doc_id
         """,
         # -- url dedup: closed-form canonical per derived variant
         # (case/port/fragment/tracking collapse; g%5==0 v=2 keeps sorted

@@ -100,3 +100,30 @@ def test_tfidf_topk_small_closed_form(ray_session):
     assert out.iloc[0]["tfidf"] == 2 * math.log(3.0)
     assert out.iloc[1][["doc_id", "token"]].tolist() == [2, "cherry"]
     assert out.iloc[2][["doc_id", "token"]].tolist() == [2, "dates"]
+
+
+def test_grouped_ntile(ray_session):
+    """NTILE semantics: first n%k tiles get the extra row; per-key
+    ordering with deterministic tie-break."""
+    import ray.data
+
+    from xhs_ocr_ray.stages.ranking import grouped_ntile
+
+    rows = []
+    for lang, n in [("en", 7), ("zh", 2), ("fr", 1)]:
+        for i in range(n):
+            rows.append({"lang": lang, "score": 100 - i,
+                         "doc_id": len(rows)})
+    ds = ray.data.from_items(rows, override_num_blocks=2)
+    out = (grouped_ntile(ds, ["lang"], "score", 3, descending=True,
+                         tie_cols=("doc_id",))
+           .to_pandas().sort_values(["lang", "doc_id"]))
+    en = out[out.lang == "en"]
+    assert en.tile.tolist() == [1, 1, 1, 2, 2, 3, 3]  # sizes 3,2,2
+    assert out[out.lang == "zh"].tile.tolist() == [1, 2]
+    assert out[out.lang == "fr"].tile.tolist() == [1]
+
+    import pytest
+
+    with pytest.raises(ValueError, match="k must be"):
+        grouped_ntile(ds, ["lang"], "score", 0)

@@ -126,3 +126,63 @@ def grouped_quantiles(ds, key_cols: list[str], val_col: str,
         .map_batches(group_apply(bucket_quants),
                        batch_size=None, batch_format=None)
     )
+
+
+def grouped_ntile(ds, key_cols: list[str], order_col: str, k: int, *,
+                  descending: bool = False, tie_cols: tuple[str, ...] = (),
+                  out_col: str = "tile"):
+    """``NTILE(k) OVER (PARTITION BY key ORDER BY order_col [DESC],
+    tie_cols)`` — equal-count buckets per key, the CCNet head/middle/tail
+    split shape (Wenzek et al. 2020 bucket corpora by per-language
+    perplexity terciles).
+
+    One key-bucket exchange; per bucket a single mergesort + vectorized
+    searchsorted over the standard NTILE bucket bounds (first ``n % k``
+    tiles get the extra row — DuckDB/ANSI semantics, so the oracle is
+    exact). A key's full row set must co-locate (inherent to exact
+    windowed ranking, as in :func:`grouped_topk`); for skew-critical
+    corpora use threshold-based assignment from
+    :func:`grouped_quantiles` instead.
+    """
+    if k < 1:
+        raise ValueError("grouped_ntile: k must be >= 1")
+    ties = list(tie_cols)
+
+    def bucket_ntile(chunk: pd.DataFrame) -> pd.DataFrame:
+        df = chunk.drop(columns="__kb")
+        if not len(df):
+            out = df.copy()
+            out[out_col] = pd.Series((), dtype="int64")
+            return out
+        df = df.sort_values(
+            [*key_cols, order_col, *ties],
+            ascending=[*([True] * len(key_cols)), not descending,
+                       *([True] * len(ties))],
+            kind="mergesort",
+        )
+        rn = df.groupby(key_cols, sort=False).cumcount().to_numpy()
+        n_of = df.groupby(key_cols, sort=False)[order_col] \
+            .transform("size").to_numpy()
+        base, extra = n_of // k, n_of % k
+        # tile t (0-based) holds rows with rn < (t+1)*base + min(t+1, extra)
+        # → invert: t = rn // (base+1) while rn < extra*(base+1), else
+        #   t = extra + (rn - extra*(base+1)) // base
+        cut = extra * (base + 1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            tile = np.where(
+                rn < cut,
+                rn // np.maximum(base + 1, 1),
+                extra + np.where(base > 0, (rn - cut) // np.maximum(base, 1),
+                                 0),
+            )
+        df[out_col] = (tile + 1).astype("int64")
+        return df
+
+    return (
+        ds.map_batches(_add_key_bucket, batch_format="pyarrow",
+                       fn_kwargs={"key_cols": key_cols,
+                                  "num_buckets": default_num_buckets()})
+        .sort("__kb")
+        .map_batches(group_apply(bucket_ntile),
+                     batch_size=None, batch_format=None)
+    )

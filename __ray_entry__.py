@@ -1119,6 +1119,30 @@ def _q_unigram_logprob(sf_dir: str):
         _read(sf_dir, "documents", columns=["doc_id", "text"]))
 
 
+def _q_substring_decontam(sf_dir: str):
+    """Exact-substring decontamination (the GPT-4-style verbatim check
+    complementing n-gram decontam): 30-char prefixes of every 97th doc
+    form the eval probe set (bounded by construction), broadcast once;
+    each doc counts its verbatim probe hits
+    (stages/decontam.substring_decontaminate)."""
+    import pyarrow as pa
+
+    from xhs_ocr_ray.stages.decontam import substring_decontaminate
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def every_97th(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 97 == 0))  # pyarrow 16: no pc.modulo
+
+    eval_rows = docs.map_batches(every_97th,
+                                 batch_format="pyarrow").take_all()
+    probes = [r["text"][:30] for r in eval_rows if len(r["text"]) >= 30]
+    out = substring_decontaminate(docs, probes)
+    return out.select_columns(
+        ["doc_id", "n_probe_hits", "substring_contaminated"])
+
+
 def _q_ccnet_buckets(sf_dir: str):
     """CCNet head/middle/tail corpus split (Wenzek et al. 2020): per-LANG
     terciles of the unigram-LM quality score — the composed bucketing
@@ -2251,6 +2275,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup_apply": _q_minhash_dedup_apply,
         "ann_join_ivf": _q_ann_join_ivf,
         "ccnet_buckets": _q_ccnet_buckets,
+        "substring_decontam": _q_substring_decontam,
         "window_filter": _q_window_filter,
         "related_merge": _q_related_merge,
         "related_count": _q_related_count,
@@ -3398,6 +3423,22 @@ def oracle_sql() -> dict[str, str]:
                      / CAST(sum(f.tf) AS DOUBLE) AS mean_logprob_micro
             FROM tf f JOIN lp ON f.token = lp.token
             GROUP BY f.doc_id
+        """,
+        # -- substring decontam: 30-char prefixes of every 97th doc as
+        # probes; contains() == Arrow match_substring (plain bytes match)
+        "substring_decontam": """
+            WITH probes AS (
+              SELECT DISTINCT substr(text, 1, 30) AS p FROM documents
+              WHERE doc_id % 97 = 0 AND length(text) >= 30
+            ), hits AS (
+              SELECT d.doc_id, CAST(count(p.p) AS BIGINT) AS n
+              FROM documents d
+              LEFT JOIN probes p ON contains(d.text, p.p)
+              GROUP BY d.doc_id
+            )
+            SELECT doc_id, n AS n_probe_hits,
+                   n > 0 AS substring_contaminated
+            FROM hits
         """,
         # -- ccnet buckets: per-lang NTILE(3) over the unigram score
         "ccnet_buckets": """

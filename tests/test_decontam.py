@@ -67,3 +67,32 @@ def test_collect_eval_guard(ray_session):
         [{"text": "a b c d e f g h"}], override_num_blocks=1)
     with pytest.raises(ValueError, match="max_eval_ngrams"):
         collect_eval_ngram_hashes(eval_ds, n=3, max_eval_ngrams=2)
+
+
+def test_substring_decontaminate(ray_session):
+    import ray.data
+
+    from xhs_ocr_ray.stages.decontam import substring_decontaminate
+
+    docs = [
+        {"doc_id": 1, "text": "the secret eval answer is forty two ok"},
+        {"doc_id": 2, "text": "clean text with nothing shared"},
+        {"doc_id": 3, "text": "prefix secret eval answer suffix and "
+                              "another probe right here too"},
+        {"doc_id": 4, "text": None},
+    ]
+    ds = ray.data.from_items(docs, override_num_blocks=2)
+    out = substring_decontaminate(
+        ds, ["secret eval answer", "another probe", "", "absent probe"],
+    ).to_pandas().set_index("doc_id").sort_index()
+    assert out.n_probe_hits.tolist() == [1, 0, 2, 0]
+    assert out.substring_contaminated.tolist() == [True, False, True, False]
+
+    dropped = substring_decontaminate(
+        ds, ["secret eval answer"], drop=True).to_pandas()
+    assert sorted(dropped.doc_id) == [2, 4]
+
+    import pytest
+
+    with pytest.raises(ValueError, match="max_probes"):
+        substring_decontaminate(ds, ["a", "b", "c"], max_probes=2)

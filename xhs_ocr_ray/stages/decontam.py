@@ -117,3 +117,51 @@ def ngram_decontaminate(train_ds, eval_hashes: np.ndarray, *,
         return out
 
     return train_ds.map_batches(check, batch_format="pyarrow")
+
+
+def substring_decontaminate(train_ds, probes: list[str], *,
+                            text_col: str = "text", id_col: str = "doc_id",
+                            drop: bool = False,
+                            max_probes: int = 1_000_000):
+    """Exact-substring benchmark decontamination — the verbatim-leak check
+    used alongside n-gram overlap (GPT-4 tech report: 50-char substring
+    samples of eval items; :func:`ngram_decontaminate` is the fuzzy
+    variant). Appends ``n_probe_hits`` (how many DISTINCT probes occur
+    verbatim in the doc) and ``substring_contaminated``; ``drop=True``
+    filters instead.
+
+    Shape: the probe list is eval-sized by definition (guarded by
+    ``max_probes``), broadcast ONCE via ``ray.put``; each batch runs one
+    vectorized ``pc.match_substring`` kernel PER PROBE across all its
+    documents (vectorized over the corpus axis — the probe axis is the
+    small one). No shuffle.
+    """
+    import ray
+
+    probes = sorted({p for p in probes if p})
+    if len(probes) > max_probes:
+        raise ValueError(
+            f"substring_decontaminate: {len(probes)} probes "
+            f"(> max_probes={max_probes}); this broadcast-per-probe design "
+            f"assumes an eval-sized probe list")
+    ref = ray.put(probes)
+
+    def check(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ps = ray.get(ref)
+        texts = pc.coalesce(batch.column(text_col).combine_chunks(),
+                            pa.scalar("", pa.string()))
+        hits = np.zeros(batch.num_rows, dtype=np.int64)
+        for p in ps:
+            hits += pc.match_substring(texts, p) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+        out = batch.append_column("n_probe_hits",
+                                  pa.array(hits, pa.int64()))
+        out = out.append_column("substring_contaminated",
+                                pa.array(hits > 0, pa.bool_()))
+        if drop:
+            out = out.filter(pa.array(hits == 0, pa.bool_()))
+        return out
+
+    return train_ds.map_batches(check, batch_format="pyarrow")

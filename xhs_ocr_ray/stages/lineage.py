@@ -51,6 +51,11 @@ def lineage_metrics(extracted_ds):
     return (
         extracted_ds.map_batches(add_url_prefix, batch_format="pyarrow")
         .map_batches(_partial, batch_format="pyarrow")
+        # collapse the per-block partial slivers to a few blocks: the native
+        # Aggregate partitions by input block count, and with groups ≪
+        # blocks the empty partitions emit schema-less bundles (the
+        # RefBundle-warning class)
+        .repartition(8)
         .groupby(["url_prefix", "status", "profile_id"])
         .aggregate(Sum("n_docs", alias_name="n_docs_sum"),
                    Sum("bytes_in", alias_name="bytes_in_sum"),
@@ -88,6 +93,7 @@ def prefix_summary(extracted_ds):
     return (
         extracted_ds.map_batches(add_url_prefix, batch_format="pyarrow")
         .map_batches(_split, batch_format="pyarrow")
+        .repartition(8)  # see lineage_metrics: avoid empty Aggregate partitions
         .groupby("url_prefix")
         .aggregate(
             Sum("n_docs", alias_name="n_docs"),

@@ -528,3 +528,34 @@ def test_incremental_exact_sweeps_stale_staging(ray_session):
                               override_num_blocks=1)
     incremental_exact_dedup(ds2, idx, fp_col="fp", id_col="doc_id")
     assert not os.path.exists(stale)
+
+
+def test_minhash_paths_handle_empty_batch(ray_session):
+    """An empty daily batch (every row filtered) must not crash either
+    minhash path: clusters come back typed-empty and the incremental
+    index still appends its (empty) run dir."""
+    import os
+    import shutil
+
+    import ray.data
+
+    from xhs_ocr_ray.stages.dedup import (
+        incremental_minhash_dedup,
+        minhash_lsh_dedup,
+    )
+
+    idx = "/tmp/xhs_test_empty_mh"
+    shutil.rmtree(idx, ignore_errors=True)
+    empty = ray.data.from_items(
+        [{"doc_id": 1, "text": "a b c"}], override_num_blocks=1
+    ).filter(lambda r: False)
+    assert minhash_lsh_dedup(empty, "text", "doc_id").count() == 0
+    assert incremental_minhash_dedup(
+        empty, idx, text_col="text", id_col="doc_id").count() == 0
+    assert sorted(d for d in os.listdir(idx)
+                  if d.startswith("run_")) == ["run_0"]
+    real = ray.data.from_items(
+        [{"doc_id": 5, "text": "one two three four five six"}],
+        override_num_blocks=1)
+    assert incremental_minhash_dedup(
+        real, idx, text_col="text", id_col="doc_id").count() == 1

@@ -358,6 +358,14 @@ def minhash_lsh_dedup(ds, text_col: str, id_col: str, *, num_perm: int = 64,
     )
     ds.map_batches(sig_rows, batch_format="pyarrow",
                    batch_size=256).write_parquet(spill)
+    import glob as _glob_mod
+    if not _glob_mod.glob(os.path.join(spill, "*.parquet")):
+        # empty corpus writes no spill files (a daily-crawl edge): typed
+        # empty result, same (int64 id, int64 cluster) schema as the repo's
+        # id convention
+        return ray.data.from_arrow(pa.table({
+            id_col: pa.array([], pa.int64()),
+            "cluster_id": pa.array([], pa.int64())}))
     sig_ds = read_parquet_clean(spill)
 
     def band_rows(batch: pa.Table) -> pa.Table:
@@ -1281,6 +1289,20 @@ def incremental_minhash_dedup(new_ds, index_dir: str, *, text_col: str,
     clusters = minhash_lsh_dedup(
         new_ds, text_col, id_col, num_perm=num_perm, bands=bands,
         shingle_k=shingle_k, threshold=threshold, sig_spill_dir=spill)
+    if not _glob.glob(os.path.join(spill, "*.parquet")):
+        # empty NEW batch: keep the append contract (a run dir per call,
+        # so run numbering stays monotone) and return a typed empty
+        import ray.data
+
+        runs0 = [int(os.path.basename(d).split("_")[1])
+                 for d in existing_runs]
+        nxt = os.path.join(index_dir, f"run_{max(runs0, default=-1) + 1}")
+        os.makedirs(staging, exist_ok=True)
+        os.replace(staging, nxt)
+        shutil.rmtree(spill, ignore_errors=True)
+        return ray.data.from_arrow(pa.table({
+            id_col: pa.array([], pa.int64()),
+            text_col: pa.array([], pa.string())}))
     sig_ds = read_parquet_clean(spill)  # (id, sig) of the whole new batch
 
     def band_rows_i64(batch: pa.Table) -> pa.Table:
